@@ -1,0 +1,122 @@
+"""Model registry and expert stacking.
+
+Mirrors the reference's string registry (expertsim/models/__init__.py:11-28)
+minus its import-time bugs: the reference maps two names to classes that do
+not exist (``GeneratorUnified``, ``AttentionRouterNetwork``); here every
+registered name resolves, and the attention router is implemented as the
+intended capability.
+
+Expert stacking is the central TPU-native divergence: instead of a Python
+list of deep-copied modules (reference moe.py:29-35), ``stack_experts``
+applies ``nn.vmap`` over a leading expert axis — per-expert parameters are
+one stacked pytree, every sample runs through every expert in one XLA
+program, and losses are masked by the routing gates (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Tuple, Type
+
+import flax.linen as nn
+
+from zdcsim.models.neutron import (  # noqa: F401
+    NEUTRON_SHAPE,
+    AuxRegNeutron,
+    DiscriminatorNeutron,
+    GeneratorNeutron,
+)
+from zdcsim.models.proton import PROTON_SHAPE, AuxReg, Discriminator, Generator  # noqa: F401
+from zdcsim.models.router import AttentionRouterNetwork, RouterNetwork  # noqa: F401
+
+MODEL_REGISTRY: Dict[str, Type[nn.Module]] = {
+    "proton.generator": Generator,
+    "proton.discriminator": Discriminator,
+    "proton.aux_reg": AuxReg,
+    "neutron.generator": GeneratorNeutron,
+    "neutron.discriminator": DiscriminatorNeutron,
+    "neutron.aux_reg": AuxRegNeutron,
+    "router_v1": RouterNetwork,
+    "router_attention": AttentionRouterNetwork,
+}
+
+
+def build_model(name: str, model_specs: Dict[str, Any] | None = None) -> nn.Module:
+    """Instantiate a registered module from keyword specs (reference
+    ``build_model``, models/__init__.py:25-28 — no device argument: placement
+    is a sharding concern in JAX, not a model concern)."""
+    if name not in MODEL_REGISTRY:
+        raise ValueError(f"Unknown model '{name}'. Available: {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[name](**(model_specs or {}))
+
+
+def stack_experts(module_cls: Type[nn.Module], n_experts: int, **module_kwargs) -> nn.Module:
+    """Stack ``n_experts`` independent copies of a module on a leading axis.
+
+    Parameters (and batch_stats: BN running stats, spectral-norm u/v) get a
+    leading ``[E, ...]`` axis; inputs are broadcast to all experts; outputs
+    gain a leading ``[E, ...]`` axis. ``split_rngs`` gives each expert an
+    independent init (the reference's deepcopy-per-expert equivalent,
+    moe.py:29-35, including its non-sharing assertion at :44-48 — vmapped
+    params are distinct by construction).
+    """
+    stacked = nn.vmap(
+        module_cls,
+        in_axes=None,
+        out_axes=0,
+        variable_axes={"params": 0, "batch_stats": 0},
+        split_rngs={"params": True, "dropout": True},
+        axis_size=n_experts,
+    )
+    return stacked(**module_kwargs)
+
+
+@dataclass
+class MoEModules:
+    """The four Flax modules of one MoE system plus its geometry."""
+
+    generator: nn.Module
+    discriminator: nn.Module
+    aux_reg: nn.Module
+    router: nn.Module
+    n_experts: int
+    noise_dim: int
+    cond_dim: int
+    image_shape: Tuple[int, int]
+    names: Dict[str, str] = field(default_factory=dict)
+
+
+def build_moe(cfg) -> MoEModules:
+    """Build the expert-stacked G/D/Aux + router from a config tree
+    (the analog of reference ``setup_moe_system``, train/loop.py:332-354)."""
+    arch = cfg.model.architecture
+    n_experts = int(cfg.model.n_experts)
+    noise_dim = int(cfg.model.noise_dim)
+    cond_dim = int(cfg.model.cond_dim)
+
+    gen_cls = MODEL_REGISTRY[f"{arch}.generator"]
+    disc_cls = MODEL_REGISTRY[f"{arch}.discriminator"]
+    aux_cls = MODEL_REGISTRY[f"{arch}.aux_reg"]
+    router_cls = MODEL_REGISTRY[cfg.model.router.version]
+
+    generator = stack_experts(gen_cls, n_experts, noise_dim=noise_dim, cond_dim=cond_dim)
+    discriminator = stack_experts(disc_cls, n_experts, cond_dim=cond_dim)
+    aux_reg = stack_experts(aux_cls, n_experts)
+    router = router_cls(n_experts=n_experts)
+
+    return MoEModules(
+        generator=generator,
+        discriminator=discriminator,
+        aux_reg=aux_reg,
+        router=router,
+        n_experts=n_experts,
+        noise_dim=noise_dim,
+        cond_dim=cond_dim,
+        image_shape=tuple(cfg.dataset.input_image_shape),
+        names={
+            "generator": gen_cls.__name__,
+            "discriminator": disc_cls.__name__,
+            "aux_reg": aux_cls.__name__,
+            "router": router_cls.__name__,
+        },
+    )

@@ -1,0 +1,162 @@
+"""Neutron ZDC (ZN, 44x44) model family.
+
+Flax re-designs of the reference architectures (cited per class). The
+reference uses BatchNorm here; batch statistics live in ``batch_stats`` and
+can be synchronized across a data-parallel mesh via ``axis_name``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from zdcsim.models.layers import (
+    GroupNorm2d,
+    SNConv,
+    SNDense,
+    leaky_relu,
+    max_pool,
+    upsample_nearest,
+)
+
+NEUTRON_SHAPE = (44, 44)
+
+
+class GeneratorNeutron(nn.Module):
+    """DCGAN-style conditional generator for 44x44 neutron showers.
+
+    Reference: "Generator-neutron-1-original-architecture"
+    (expertsim/models/neutron/generator.py:5-49): FC256(BN, Drop .2, LReLU)
+    -> FC 128*13*13(BN, Drop, LReLU) -> reshape 13x13x128 -> up x2 ->
+    Conv3x3 256(BN, Drop, LReLU) -> up x2 -> Conv3x3 128(BN, Drop, LReLU)
+    -> Conv2x2 64(BN, Drop, LReLU) -> Conv2x2 1 -> ReLU => 44x44 log-space.
+    """
+
+    noise_dim: int = 10
+    cond_dim: int = 9
+    bn_axis_name: Optional[str] = None  # set to the mesh data axis for synced BN
+
+    def _bn(self, x, train):
+        return nn.BatchNorm(
+            use_running_average=not train, axis_name=self.bn_axis_name, momentum=0.9
+        )(x)
+
+    @nn.compact
+    def __call__(self, noise: jnp.ndarray, cond: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        x = jnp.concatenate([noise, cond], axis=1)
+        x = nn.Dense(256)(x)
+        x = self._bn(x, train)
+        x = nn.Dropout(0.2, deterministic=not train)(x)
+        x = leaky_relu(x)
+
+        x = nn.Dense(128 * 13 * 13)(x)
+        x = self._bn(x, train)
+        x = nn.Dropout(0.2, deterministic=not train)(x)
+        x = leaky_relu(x)
+
+        x = x.reshape(-1, 13, 13, 128)
+        x = upsample_nearest(x)  # 26x26
+
+        x = nn.Conv(256, (3, 3), padding="VALID")(x)  # 24x24
+        x = self._bn(x, train)
+        x = nn.Dropout(0.2, deterministic=not train)(x)
+        x = leaky_relu(x)
+
+        x = upsample_nearest(x)  # 48x48
+        x = nn.Conv(128, (3, 3), padding="VALID")(x)  # 46x46
+        x = self._bn(x, train)
+        x = nn.Dropout(0.2, deterministic=not train)(x)
+        x = leaky_relu(x)
+
+        x = nn.Conv(64, (2, 2), padding="VALID")(x)  # 45x45
+        x = self._bn(x, train)
+        x = nn.Dropout(0.2, deterministic=not train)(x)
+        x = leaky_relu(x)
+
+        x = nn.Conv(1, (2, 2), padding="VALID")(x)  # 44x44
+        return nn.relu(x)
+
+
+class DiscriminatorNeutron(nn.Module):
+    """Hinge discriminator with spectral norm for 44x44 showers.
+
+    Reference: "Discriminator-neutron-1-expert-hinge-SN"
+    (expertsim/models/neutron/discriminator.py:6-48): SN Conv3x3 32 (GN8) ->
+    pool 2x2 -> SN Conv3x3 16 (GN8) -> pool 2x2 -> flatten ++ cond -> SN
+    FC128(LN) -> SN FC64(LN) = latent -> SN FC1. For 44x44 input the flat
+    size is 16*9*9 = 1296, matching the reference's hardcoded 9*12*12.
+    """
+
+    cond_dim: int = 9
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray, cond: jnp.ndarray, train: bool = True):
+        x = SNConv(32, (3, 3))(img, train=train)  # 42x42
+        x = GroupNorm2d(32, groups=8)(x)
+        x = leaky_relu(x)
+        x = max_pool(x, (2, 2))  # 21x21
+
+        x = SNConv(16, (3, 3))(x, train=train)  # 19x19
+        x = GroupNorm2d(16, groups=8)(x)
+        x = leaky_relu(x)
+        x = max_pool(x, (2, 2))  # 9x9
+
+        x = x.reshape(x.shape[0], -1)
+        x = jnp.concatenate([x, cond], axis=1)
+
+        x = SNDense(128)(x, train=train)
+        x = nn.LayerNorm()(x)
+        x = leaky_relu(x)
+
+        x = SNDense(64)(x, train=train)
+        x = nn.LayerNorm()(x)
+        latent = leaky_relu(x)
+
+        out = SNDense(1)(latent, train=train)
+        return out, latent
+
+
+class AuxRegNeutron(nn.Module):
+    """Auxiliary coordinate regressor for neutron showers.
+
+    Reference: (expertsim/models/neutron/aux_reg.py:8-81): four Conv3x3
+    stages 32->64->128->256 with BN/Dropout and interleaved pools, a 1x1
+    channel reduction to 64, adaptive global average pooling, and a single
+    Linear(64, 2) head. Same log-cosh loss as the proton regressor.
+    """
+
+    output_dim: int = 2
+    bn_axis_name: Optional[str] = None
+
+    def _bn(self, x, train):
+        return nn.BatchNorm(
+            use_running_average=not train, axis_name=self.bn_axis_name, momentum=0.9
+        )(x)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        if x.ndim == 3:
+            x = x[..., None]
+
+        def stage(x, feats, pool_window):
+            x = nn.Conv(feats, (3, 3), padding="VALID")(x)
+            x = self._bn(x, train)
+            x = leaky_relu(x)
+            x = nn.Dropout(0.2, deterministic=not train)(x)
+            if pool_window is not None:
+                x = max_pool(x, pool_window)
+            return x
+
+        x = stage(x, 32, (2, 2))
+        x = stage(x, 64, (2, 1))
+        x = stage(x, 128, (2, 1))
+        x = stage(x, 256, None)
+
+        x = nn.Conv(64, (1, 1), use_bias=False)(x)
+        x = self._bn(x, train)
+        x = leaky_relu(x)
+
+        features = jnp.mean(x, axis=(1, 2))  # adaptive GAP -> [B, 64]
+        return nn.Dense(self.output_dim)(features)
