@@ -5,12 +5,17 @@ Must set XLA flags before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# The axon TPU plugin's sitecustomize forces jax_platforms="axon,cpu" at
+# interpreter start, silently overriding the env var — without this update
+# the "CPU" test suite would compile over the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: repeat suite runs skip XLA recompiles.

@@ -1,0 +1,209 @@
+"""Data subsystem tests: prep (notebook-equivalents), scalers, dataset
+transform, loaders, native kernels."""
+
+import numpy as np
+import pytest
+
+from zdcsim.config import load_config
+from zdcsim.data.prep import (
+    COND_COLUMNS,
+    diversity_std,
+    filter_photon_sum,
+    group_by_condition,
+    max_coordinates,
+    pair_same_condition,
+    photon_sums,
+    prepare_dataset,
+)
+from zdcsim.data.scalers import MinMaxScaler, StandardScaler
+from zdcsim.data.synthetic import make_synthetic_dataset
+from zdcsim.data.dataset import get_train_test_data, transform_data_for_training, get_dataset
+from zdcsim.data.loader import DeviceLoader, make_loaders, split_to_arrays
+
+
+def synth_cfg(**over):
+    base = [
+        "dataset.synthetic=true",
+        "dataset.synthetic_n_samples=256",
+        "train.batch_size=32",
+        "dataset.MIN_INTENSITY_THRESHOLD=1",
+    ]
+    return load_config(overrides=base + [f"{k}={v}" for k, v in over.items()])
+
+
+# ---------------------------------------------------------------------------
+# scalers vs sklearn
+# ---------------------------------------------------------------------------
+
+def test_standard_scaler_matches_sklearn(rng):
+    from sklearn.preprocessing import StandardScaler as SkStd
+
+    x = rng.normal(3.0, 2.0, (200, 5)).astype(np.float32)
+    ours, sk = StandardScaler(), SkStd()
+    np.testing.assert_allclose(ours.fit_transform(x), sk.fit_transform(x), atol=1e-5)
+    np.testing.assert_allclose(ours.inverse_transform(ours.transform(x)), x, atol=1e-4)
+
+
+def test_minmax_scaler_matches_sklearn(rng):
+    from sklearn.preprocessing import MinMaxScaler as SkMM
+
+    x = rng.normal(0.0, 5.0, (100, 3)).astype(np.float32)
+    ours, sk = MinMaxScaler(), SkMM()
+    np.testing.assert_allclose(ours.fit_transform(x), sk.fit_transform(x), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# prep functions
+# ---------------------------------------------------------------------------
+
+def test_photon_sums_and_filter(rng):
+    imgs = rng.random((50, 6, 4)).astype(np.float32) * 10
+    sums = photon_sums(imgs)
+    np.testing.assert_allclose(sums, imgs.reshape(50, -1).sum(1), rtol=1e-5)
+    mask = filter_photon_sum(sums, min_sum=100.0)
+    assert np.array_equal(mask, sums >= 100.0)
+
+
+def test_max_coordinates_matches_argmax(rng):
+    imgs = rng.random((30, 8, 5)).astype(np.float32)
+    coords = max_coordinates(imgs)
+    flat = imgs.reshape(30, -1).argmax(1)
+    np.testing.assert_array_equal(coords[:, 0], flat // 5)
+    np.testing.assert_array_equal(coords[:, 1], flat % 5)
+
+
+def test_grouping_and_pairing(rng):
+    cond = np.repeat(rng.normal(size=(10, 9)), 4, axis=0)  # 10 groups of 4
+    gids = group_by_condition(cond)
+    assert len(np.unique(gids)) == 10
+    pair = pair_same_condition(gids, np.random.default_rng(0))
+    # every pair partner has identical conditioning
+    np.testing.assert_array_equal(gids[pair], gids)
+    # pairing is a permutation within groups
+    assert sorted(pair.tolist()) == list(range(40))
+
+
+def test_diversity_std_group_semantics(rng):
+    imgs = rng.random((12, 4, 4)).astype(np.float32)
+    gids = np.array([0] * 4 + [1] * 4 + [2] * 4)
+    std = diversity_std(imgs, gids)
+    # same value within group, max-normalized to peak 1
+    for g in range(3):
+        assert np.allclose(std[gids == g], std[gids == g][0])
+    assert np.isclose(std.max(), 1.0)
+    # singleton groups get zero
+    std2 = diversity_std(imgs, np.arange(12))
+    assert np.all(std2 == 0.0)
+
+
+def test_diversity_std_matches_numpy_reference(rng):
+    imgs = rng.random((40, 5, 3)).astype(np.float32)
+    gids = rng.integers(0, 8, 40)
+    got = diversity_std(imgs, gids)
+    exp = np.zeros(40)
+    flat = imgs.reshape(40, -1).astype(np.float64)
+    for g in np.unique(gids):
+        seg = np.flatnonzero(gids == g)
+        if seg.size > 1:
+            exp[seg] = flat[seg].std(axis=0).sum()
+    if exp.max() > 0:
+        exp = exp / exp.max()
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# synthetic dataset + full transform
+# ---------------------------------------------------------------------------
+
+def test_synthetic_dataset_schema():
+    ds = make_synthetic_dataset(128, (56, 30), "proton", seed=1)
+    assert ds.images.shape == (128, 56, 30)
+    assert ds.positions.shape == (128, 2)
+    for c in COND_COLUMNS:
+        assert ds.cond[c].shape == (128,)
+    assert "proton_photon_sum" in ds.cond
+    assert "std_proton" in ds.cond
+    # images are log1p space: all non-negative
+    assert ds.images.min() >= 0.0
+    # duplicated-condition groups exist (group_size=4)
+    assert len(np.unique(ds.cond["group_number_proton"])) < 128
+
+
+def test_neutron_synthetic_schema():
+    ds = make_synthetic_dataset(64, (44, 44), "neutron", seed=2)
+    assert ds.images.shape == (64, 44, 44)
+    assert "neutron_photon_sum" in ds.cond and "std" in ds.cond
+
+
+def test_transform_and_split_roundtrip():
+    cfg = synth_cfg()
+    split = get_train_test_data(cfg)
+    n = 256
+    assert split.x_train.shape[0] + split.x_test.shape[0] == n
+    assert split.x_test.shape[0] == int(round(n * 0.2))
+    # cond standardized
+    assert abs(split.y_train.mean()) < 0.2
+    # std minmax-scaled into [0, 1]
+    allstd = np.concatenate([split.std_train, split.std_test])
+    assert allstd.min() >= 0.0 and allstd.max() <= 1.0 + 1e-6
+    # intensity raw (linear photon counts, large values)
+    assert split.intensity_train.max() > 100
+    # split indices disjoint + exhaustive
+    assert len(np.intersect1d(split.train_indices, split.test_indices)) == 0
+    assert len(split.train_indices) + len(split.test_indices) == n
+
+
+def test_photon_sum_filter_applied():
+    cfg = synth_cfg(**{"dataset.MIN_INTENSITY_THRESHOLD": 5000})
+    ds = get_dataset(cfg)
+    assert ds.cond["proton_photon_sum"].min() >= 5000
+    assert cfg.photon_sum_min >= 5000
+
+
+def test_stratified_subsample():
+    cfg = synth_cfg(**{"dataset.read_n_samples": 100})
+    ds = get_dataset(cfg)
+    assert ds.n_events == 100
+
+
+# ---------------------------------------------------------------------------
+# device loader
+# ---------------------------------------------------------------------------
+
+def test_device_loader_batching(rng):
+    arrays = {"a": rng.random((100, 3)).astype(np.float32), "b": rng.random(100).astype(np.float32)}
+    loader = DeviceLoader(arrays, batch_size=32, shuffle=True, seed=0)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3  # remainder dropped
+    assert batches[0]["a"].shape == (32, 3)
+    # deterministic per epoch index
+    again = list(loader.epoch(0))
+    np.testing.assert_array_equal(np.asarray(batches[0]["a"]), np.asarray(again[0]["a"]))
+    # different epoch -> different order
+    other = list(loader.epoch(1))
+    assert not np.array_equal(np.asarray(batches[0]["a"]), np.asarray(other[0]["a"]))
+
+
+def test_make_loaders_shapes():
+    cfg = synth_cfg()
+    split = get_train_test_data(cfg)
+    train_loader, test_loader = make_loaders(cfg, split)
+    batch = next(iter(train_loader.epoch(0)))
+    b = int(cfg.train.batch_size)
+    assert batch["real"].shape == (b, 56, 30, 1)
+    assert batch["cond"].shape == (b, 9)
+    assert batch["std"].shape == (b, 1)
+    assert batch["intensity"].shape == (b, 1)
+    assert batch["positions"].shape == (b, 2)
+
+
+# ---------------------------------------------------------------------------
+# native kernels (numpy parity; skip silently falls back if no toolchain)
+# ---------------------------------------------------------------------------
+
+def test_native_gather_rows(rng):
+    from zdcsim import native
+
+    src = rng.random((50, 7, 3)).astype(np.float32)
+    idx = rng.integers(0, 50, 16)
+    np.testing.assert_array_equal(native.gather_rows(src, idx), src[idx])

@@ -1,0 +1,117 @@
+"""Evaluator, inference engine, and checkpoint tests on tiny models."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zdcsim.config import load_config
+from zdcsim.models.testing import build_tiny_moe
+from zdcsim.train.evaluate import build_evaluator
+from zdcsim.train.state import init_state
+
+SHAPE = (8, 6)
+
+
+def tiny_cfg(**over):
+    base = ["model.n_experts=3", "train.batch_size=16",
+            f"dataset.input_image_shape=[{SHAPE[0]}, {SHAPE[1]}]"]
+    return load_config(overrides=base + [f"{k}={v}" for k, v in over.items()])
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    modules = build_tiny_moe(cfg, SHAPE)
+    state = init_state(modules, cfg, jax.random.PRNGKey(0))
+    return cfg, modules, state
+
+
+def test_evaluator_ws_metrics(setup):
+    cfg, modules, state = setup
+    n = 64
+    test_arrays = {
+        "real": jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (n, *SHAPE, 1))),
+        "cond": jax.random.normal(jax.random.PRNGKey(2), (n, 9)),
+    }
+    evaluator = build_evaluator(modules, cfg, chunk_size=32)
+    m = evaluator(state, test_arrays, epoch=0, key=jax.random.PRNGKey(3))
+    assert np.isfinite(m["ws_mean"]) and m["ws_mean"] >= 0
+    assert m["ws_mean_exp"].shape == (3,)
+    assert int(m["eval_expert_counts"].sum()) == n
+    # epoch 0 -> n_calc = 1 -> std over runs is 0
+    assert m["ws_std"] == 0.0
+
+
+def test_evaluator_nruns_schedule(setup):
+    cfg, modules, state = setup
+    n = 32
+    test_arrays = {
+        "real": jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (n, *SHAPE, 1))),
+        "cond": jax.random.normal(jax.random.PRNGKey(2), (n, 9)),
+    }
+    evaluator = build_evaluator(modules, cfg, chunk_size=32)
+    m = evaluator(state, test_arrays, epoch=25, key=jax.random.PRNGKey(3))
+    # epoch 25 -> n_calc = min(25//5+1, 5) = 5 runs -> nonzero run-to-run std
+    assert m["ws_std"] >= 0.0
+
+
+def test_ws_identical_distributions_near_zero(setup):
+    """WS of a generator against its own output distribution ~ 0."""
+    cfg, modules, state = setup
+    n = 128
+    cond = jax.random.normal(jax.random.PRNGKey(2), (n, 9))
+    # build "real" images from the same generator the evaluator uses
+    noise = jax.random.normal(jax.random.PRNGKey(5), (n, modules.noise_dim))
+    imgs = modules.generator.apply({"params": state.gen.params}, noise, cond, False)
+    _, logits = modules.router.apply({"params": state.router.params}, cond)
+    idx = jnp.argmax(logits, axis=-1)
+    real = jnp.take_along_axis(imgs, idx[None, :, None, None, None], axis=0)[0]
+    evaluator = build_evaluator(modules, cfg, chunk_size=128)
+    m = evaluator(state, {"real": real, "cond": cond}, epoch=0, key=jax.random.PRNGKey(3))
+    # identical conditional distribution, finite-sample fluctuation only
+    assert m["ws_mean"] < 1.0
+
+
+def test_fastsim_engine(setup):
+    from zdcsim.inference import FastSim
+
+    cfg, modules, state = setup
+    engine = FastSim.from_state(modules, state, batch_size=32)
+    cond = np.random.default_rng(0).normal(size=(50, 9)).astype(np.float32)
+    showers, experts = engine.simulate(cond, jax.random.PRNGKey(0), return_experts=True)
+    assert showers.shape == (50, *SHAPE)
+    assert experts.shape == (50,)
+    assert float(jnp.min(showers)) >= 0.0  # expm1(relu(...)) >= 0
+    # deterministic routing: same cond -> same experts
+    _, experts2 = engine.simulate(cond, jax.random.PRNGKey(9), return_experts=True)
+    np.testing.assert_array_equal(np.asarray(experts), np.asarray(experts2))
+
+
+def test_fastsim_bf16(setup):
+    from zdcsim.inference import FastSim
+
+    cfg, modules, state = setup
+    engine = FastSim.from_state(modules, state, batch_size=32, precision="bf16")
+    cond = np.zeros((32, 9), np.float32)
+    showers = engine.simulate(cond, jax.random.PRNGKey(0))
+    assert showers.dtype == jnp.float32  # outputs upcast
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    from zdcsim.train.checkpoint import latest_epoch, restore_checkpoint, save_checkpoint
+
+    cfg, modules, state = setup
+    d = str(tmp_path / "models")
+    save_checkpoint(d, 7, state)
+    assert latest_epoch(d) == 7
+    template = init_state(modules, cfg, jax.random.PRNGKey(42))
+    restored = restore_checkpoint(d, 7, template)
+    same = jax.tree_util.tree_map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)), state.gen.params,
+        restored.gen.params,
+    )
+    assert all(jax.tree_util.tree_leaves(same))
+    assert int(restored.step) == int(state.step)

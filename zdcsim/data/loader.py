@@ -1,0 +1,109 @@
+"""Device-resident batch loader.
+
+The reference streams batches through host DataLoader workers with pinned
+memory (data_transformations.py:275-281). On TPU the whole prepared dataset
+(~3 GB at 400k x 44 x 44 float32) fits in HBM, so zdcsim uploads every array
+once at startup and batching is an on-device gather — zero host↔device
+traffic in the training hot loop. Per-epoch shuffling draws a fresh
+permutation from a seeded host RNG (cheap, and keeps batch composition
+reproducible and resumable by epoch index).
+
+With a mesh, batches carry a ``NamedSharding`` over the data axis so the
+jitted train step consumes them without resharding.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BatchDict = Dict[str, jnp.ndarray]
+
+
+@jax.jit
+def _gather(arrays, idx):
+    return {k: jnp.take(v, idx, axis=0) for k, v in arrays.items()}
+
+
+class DeviceLoader:
+    """Batches over a dict of equal-length arrays resident on device.
+
+    The remainder batch is dropped (static shapes: every batch compiles to
+    the same XLA program). ``shuffle=False`` iterates in storage order like
+    the reference's loaders (which set shuffle=False too).
+    """
+
+    def __init__(
+        self,
+        arrays: Dict[str, np.ndarray],
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        sharding: Optional[jax.sharding.Sharding] = None,
+    ):
+        lengths = {k: len(v) for k, v in arrays.items()}
+        if len(set(lengths.values())) != 1:
+            raise ValueError(f"Array length mismatch: {lengths}")
+        self.n = next(iter(lengths.values()))
+        self.batch_size = int(batch_size)
+        if self.n < self.batch_size:
+            raise ValueError(f"batch_size {batch_size} exceeds dataset size {self.n}")
+        self.shuffle = shuffle
+        self.seed = seed
+        self.sharding = sharding
+        self.n_batches = self.n // self.batch_size
+        self.arrays = {
+            k: jax.device_put(jnp.asarray(v)) for k, v in arrays.items()
+        }
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[BatchDict]:
+        """Iterate the batches of one epoch (deterministic in epoch_idx)."""
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, epoch_idx))
+            order = rng.permutation(self.n)
+        else:
+            order = np.arange(self.n)
+        for b in range(self.n_batches):
+            idx = jnp.asarray(order[b * self.batch_size : (b + 1) * self.batch_size])
+            batch = _gather(self.arrays, idx)
+            if self.sharding is not None:
+                batch = {k: jax.device_put(v, self.sharding) for k, v in batch.items()}
+            yield batch
+
+    def __len__(self) -> int:
+        return self.n_batches
+
+
+def split_to_arrays(split, train: bool) -> Dict[str, np.ndarray]:
+    """SplitArrays -> the batch dict consumed by the train/eval steps.
+
+    The paired image ``x_2`` is loaded by the reference into every batch but
+    never used by its train step (train/loop.py:171); zdcsim leaves it out of
+    the device arrays to save HBM and bandwidth.
+    """
+    s = "train" if train else "test"
+    g = lambda name: getattr(split, f"{name}_{s}")
+    return {
+        "real": g("x")[..., None],  # NHWC
+        "cond": g("y"),
+        "std": g("std"),
+        "intensity": g("intensity"),
+        "positions": g("positions"),
+    }
+
+
+def make_loaders(cfg, split, sharding=None) -> Tuple[DeviceLoader, DeviceLoader]:
+    """Build train/test device loaders from a SplitArrays."""
+    bs = int(cfg.train.batch_size)
+    seed = int(cfg.train.seed)
+    train_loader = DeviceLoader(
+        split_to_arrays(split, True), bs, shuffle=True, seed=seed, sharding=sharding
+    )
+    test_bs = min(bs, split.x_test.shape[0])
+    test_loader = DeviceLoader(
+        split_to_arrays(split, False), test_bs, shuffle=False, seed=seed, sharding=sharding
+    )
+    return train_loader, test_loader

@@ -1,0 +1,168 @@
+"""The fast-sim serving path.
+
+Reference: ``get_predictions_from_experts_results``
+(expertsim/train/utils.py:208-266) — route each conditioning vector with the
+router, draw noise, decode with the routed expert's generator, invert the log
+transform. The reference does this with host-side partitioning, one generator
+call per expert, and a scatter back (and a hardcoded 5-expert variant whose
+``indx_4`` duplicates expert 2 — a known defect not replicated here).
+
+TPU-native engine: ONE compiled XLA program per fixed batch shape does
+router → noise → all-expert decode → routed gather → ``expm1``. At the
+reference's expert counts (3-5) the dense all-expert decode wastes <E× FLOPs
+on tiny CNNs but eliminates host round-trips, dynamic shapes, and per-expert
+kernel launches; the MXU is saturated by the batched matmuls/convs. Optional
+bfloat16 decode roughly doubles MXU throughput; channel-count outputs stay in
+float32.
+
+Throughput target (BASELINE.json north star): >= 50k showers/sec/chip.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zdcsim.models import MoEModules, build_moe
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
+    )
+
+
+class FastSim:
+    """Compiled ZDC fast-simulation engine.
+
+    Args:
+        modules: the MoE module bundle (zdcsim.models.build_moe).
+        gen_params / gen_stats: generator weights (pass the EMA shadow from
+            a train state for smoothed serving).
+        router_params: router weights.
+        batch_size: the compiled batch shape; inputs are chunked/padded to it.
+        precision: "f32" or "bf16" (decode in bfloat16, outputs float32).
+        scaler_cond: optional StandardScaler to standardize raw kinematics.
+        mesh: optional jax Mesh — batch shards over its 'data' axis.
+    """
+
+    def __init__(
+        self,
+        modules: MoEModules,
+        gen_params,
+        gen_stats,
+        router_params,
+        batch_size: int = 8192,
+        precision: str = "f32",
+        scaler_cond=None,
+        mesh=None,
+    ):
+        self.modules = modules
+        self.batch_size = int(batch_size)
+        self.scaler_cond = scaler_cond
+        self.noise_dim = modules.noise_dim
+        h, w = modules.image_shape
+        self.image_shape = (h, w)
+        dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        self._dtype = dtype
+
+        gen_params = _cast_tree(gen_params, dtype)
+        gen_stats = _cast_tree(gen_stats, dtype)
+        self._weights = (gen_params, gen_stats, router_params)
+
+        gen_mod, router_mod = modules.generator, modules.router
+
+        def sim(weights, cond, key):
+            gp, gs, rp = weights
+            _, logits = router_mod.apply({"params": rp}, cond)
+            idx = jnp.argmax(logits, axis=-1)  # [B]
+            noise = jax.random.normal(key, (cond.shape[0], self.noise_dim), dtype)
+            variables = {"params": gp, **gs}
+            mutable = list(gs.keys())
+            if mutable:
+                imgs, _ = gen_mod.apply(variables, noise, cond.astype(dtype), False, mutable=mutable)
+            else:
+                imgs = gen_mod.apply(variables, noise, cond.astype(dtype), False)
+            sel = jnp.take_along_axis(imgs, idx[None, :, None, None, None], axis=0)[0, ..., 0]
+            return jnp.expm1(sel.astype(jnp.float32)), idx
+
+        if mesh is not None:
+            from zdcsim.parallel.mesh import batch_sharding, replicated
+
+            self._sim = jax.jit(
+                sim,
+                in_shardings=(replicated(mesh), batch_sharding(mesh), replicated(mesh)),
+            )
+        else:
+            self._sim = jax.jit(sim)
+
+    @classmethod
+    def from_state(cls, modules: MoEModules, state, use_ema: bool = True, **kwargs) -> "FastSim":
+        gen_params = state.ema_gen_params if use_ema else state.gen.params
+        return cls(modules, gen_params, state.gen.stats, state.router.params, **kwargs)
+
+    @classmethod
+    def from_checkpoint(cls, cfg, dir_models: str, epoch: int, **kwargs) -> "FastSim":
+        from zdcsim.train.checkpoint import restore_checkpoint
+        from zdcsim.train.state import init_state
+
+        modules = build_moe(cfg)
+        template = init_state(modules, cfg, jax.random.PRNGKey(0))
+        state = restore_checkpoint(dir_models, epoch, template)
+        return cls.from_state(modules, state, **kwargs)
+
+    def standardize(self, cond_raw: np.ndarray) -> np.ndarray:
+        if self.scaler_cond is None:
+            return np.asarray(cond_raw, np.float32)
+        return self.scaler_cond.transform(cond_raw)
+
+    def simulate(
+        self, cond: np.ndarray, key: jax.Array, return_experts: bool = False
+    ):
+        """Generate linear-space showers for [N, 9] standardized conditions.
+
+        Chunks to the compiled batch shape; the final partial chunk is padded
+        and trimmed (static shapes — one XLA program for any N).
+        """
+        cond = jnp.asarray(cond, jnp.float32)
+        n = cond.shape[0]
+        bs = self.batch_size
+        outs, idxs = [], []
+        for start in range(0, n, bs):
+            chunk = cond[start : start + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
+            imgs, idx = self._sim(self._weights, chunk, jax.random.fold_in(key, start))
+            outs.append(imgs[: bs - pad])
+            idxs.append(idx[: bs - pad])
+        images = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+        if return_experts:
+            return images, (jnp.concatenate(idxs) if len(idxs) > 1 else idxs[0])
+        return images
+
+    def throughput(
+        self, n_batches: int = 20, warmup: int = 3, key: Optional[jax.Array] = None
+    ) -> Dict[str, float]:
+        """Measure steady-state showers/sec on synthetic conditions."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        cond = jax.random.normal(jax.random.fold_in(key, 1), (self.batch_size, self.modules.cond_dim))
+        for i in range(warmup):
+            out, _ = self._sim(self._weights, cond, jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(n_batches):
+            out, _ = self._sim(self._weights, cond, jax.random.fold_in(key, 100 + i))
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        total = n_batches * self.batch_size
+        return {
+            "showers_per_sec": total / dt,
+            "batch_size": float(self.batch_size),
+            "seconds": dt,
+            "n_showers": float(total),
+        }

@@ -50,19 +50,24 @@ def build_model(name: str, model_specs: Dict[str, Any] | None = None) -> nn.Modu
     return MODEL_REGISTRY[name](**(model_specs or {}))
 
 
-def stack_experts(module_cls: Type[nn.Module], n_experts: int, **module_kwargs) -> nn.Module:
+def stack_experts(
+    module_cls: Type[nn.Module], n_experts: int, in_axes=None, **module_kwargs
+) -> nn.Module:
     """Stack ``n_experts`` independent copies of a module on a leading axis.
 
     Parameters (and batch_stats: BN running stats, spectral-norm u/v) get a
-    leading ``[E, ...]`` axis; inputs are broadcast to all experts; outputs
-    gain a leading ``[E, ...]`` axis. ``split_rngs`` gives each expert an
-    independent init (the reference's deepcopy-per-expert equivalent,
-    moe.py:29-35, including its non-sharing assertion at :44-48 — vmapped
-    params are distinct by construction).
+    leading ``[E, ...]`` axis; by default inputs are broadcast to all experts
+    (``in_axes=None``); pass e.g. ``in_axes=(0, None)`` to feed each expert
+    its own leading-axis slice of the first argument. Outputs gain a leading
+    ``[E, ...]`` axis. ``split_rngs`` gives each expert an independent init
+    (the reference's deepcopy-per-expert equivalent, moe.py:29-35, including
+    its non-sharing assertion at :44-48 — vmapped params are distinct by
+    construction). Different ``in_axes`` stackings of the same module class
+    share an identical parameter pytree, so one state serves both.
     """
     stacked = nn.vmap(
         module_cls,
-        in_axes=None,
+        in_axes=in_axes,
         out_axes=0,
         variable_axes={"params": 0, "batch_stats": 0},
         split_rngs={"params": True, "dropout": True},
@@ -99,9 +104,15 @@ def build_moe(cfg) -> MoEModules:
     aux_cls = MODEL_REGISTRY[f"{arch}.aux_reg"]
     router_cls = MODEL_REGISTRY[cfg.model.router.version]
 
-    generator = stack_experts(gen_cls, n_experts, noise_dim=noise_dim, cond_dim=cond_dim)
-    discriminator = stack_experts(disc_cls, n_experts, cond_dim=cond_dim)
-    aux_reg = stack_experts(aux_cls, n_experts)
+    # NOTE: nn.vmap drops keyword args, so ``train`` MUST be passed
+    # positionally through stacked modules; in_axes covers it with None.
+    generator = stack_experts(
+        gen_cls, n_experts, in_axes=(None, None, None), noise_dim=noise_dim, cond_dim=cond_dim
+    )
+    # Discriminator/aux consume per-expert fakes [E, B, ...]; the conditioning
+    # (and real images, broadcast by the caller) are shared across experts.
+    discriminator = stack_experts(disc_cls, n_experts, in_axes=(0, None, None), cond_dim=cond_dim)
+    aux_reg = stack_experts(aux_cls, n_experts, in_axes=(0, None))
     router = router_cls(n_experts=n_experts)
 
     return MoEModules(

@@ -1,0 +1,134 @@
+"""On-device evaluation: routed generation + 5-channel Wasserstein distance.
+
+Reference semantics (expertsim/models/moe.py:644-692 +
+train/utils.py:117-176): route the test conditions, generate per-expert
+showers ``n_calc = min(epoch//5+1, 5)`` times, compute the 5 ZDC channel sums
+of generated vs GEANT4 showers, and report the mean/std over runs of the
+channel-averaged Wasserstein distance — overall and per expert.
+
+TPU-native re-design: the reference partitions the test set per expert on the
+CPU and loops generators; here every chunk runs through all experts in one
+XLA program and the routed output is a gather, channel sums are a single MXU
+matmul (zdcsim.ops.channels), and the W1 distances are computed on device
+(zdcsim.ops.ws) — evaluation never leaves the accelerator until the final
+scalars.
+
+Divergence: the reference draws gumbel noise when routing at eval time
+(router forward with default sampling, moe.py:650); zdcsim routes
+deterministically by logits argmax (set ``eval.sample_routing: true`` on the
+config to reproduce the reference's stochastic eval routing).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zdcsim.models import MoEModules
+from zdcsim.ops.channels import sum_channels
+from zdcsim.ops.ws import masked_wasserstein_1d, wasserstein_per_channel
+
+
+def build_evaluator(modules: MoEModules, cfg, chunk_size: int = 4096):
+    """Returns ``evaluate(state, test_arrays, epoch, key) -> metrics dict``."""
+    E = modules.n_experts
+    noise_dim = modules.noise_dim
+    sample_routing = bool(cfg.get("eval", {}).get("sample_routing", False)) if "eval" in cfg else False
+
+    router_mod, gen_mod = modules.router, modules.generator
+
+    @jax.jit
+    def route_chunk(router_params, cond, key):
+        _, logits = router_mod.apply({"params": router_params}, cond)
+        if sample_routing:
+            logits = logits + jax.random.gumbel(key, logits.shape, logits.dtype)
+        return jnp.argmax(logits, axis=-1)
+
+    @jax.jit
+    def gen_chunk(gen_params, gen_stats, cond, idx, key):
+        """All-expert generation + routed gather + channel sums for one chunk."""
+        noise = jax.random.normal(key, (cond.shape[0], noise_dim))
+        imgs, _ = _apply_gen(gen_params, gen_stats, noise, cond)
+        # [E, B, H, W, 1] -> routed [B, H, W]
+        sel = jnp.take_along_axis(
+            imgs, idx[None, :, None, None, None], axis=0
+        )[0, ..., 0]
+        return sum_channels(jnp.expm1(sel))  # [B, 5]
+
+    def _apply_gen(gen_params, gen_stats, noise, cond):
+        variables = {"params": gen_params, **gen_stats}
+        mutable = list(gen_stats.keys())
+        if mutable:
+            out, _ = gen_mod.apply(variables, noise, cond, False, mutable=mutable)
+            return out, None
+        return gen_mod.apply(variables, noise, cond, False), None
+
+    @jax.jit
+    def real_channels(real):
+        return sum_channels(jnp.expm1(real[..., 0] if real.ndim == 4 else real))
+
+    @functools.partial(jax.jit, static_argnames=())
+    def ws_all(ch_org, ch_gen, idx):
+        """Overall per-channel W1 plus per-expert masked W1: ([5], [E, 5])."""
+        overall = wasserstein_per_channel(ch_org, ch_gen)
+        e_masks = (idx[None, :] == jnp.arange(E)[:, None]).astype(jnp.float32)  # [E, N]
+
+        def per_expert(mask):
+            return jax.vmap(
+                lambda u, v: masked_wasserstein_1d(u, mask, v, mask), in_axes=(1, 1)
+            )(ch_org, ch_gen)
+
+        return overall, jax.vmap(per_expert)(e_masks)
+
+    def evaluate(state, test_arrays: Dict[str, jnp.ndarray], epoch: int, key: jax.Array):
+        cond = test_arrays["cond"]
+        real = test_arrays["real"]
+        n = (cond.shape[0] // chunk_size) * chunk_size or cond.shape[0]
+        cond, real = cond[:n], real[:n]
+        n_calc = int(min(epoch // 5 + 1, 5))
+
+        k_route, key = jax.random.split(key)
+        chunks = max(1, n // chunk_size) if n >= chunk_size else 1
+        csize = n // chunks
+        idx_parts, org_parts = [], []
+        for c in range(chunks):
+            sl = slice(c * csize, (c + 1) * csize)
+            idx_parts.append(route_chunk(state.router.params, cond[sl], k_route))
+            org_parts.append(real_channels(real[sl]))
+        idx = jnp.concatenate(idx_parts)
+        ch_org = jnp.concatenate(org_parts)
+
+        ws_runs = np.zeros((n_calc, 5))
+        ws_exp_runs = np.zeros((n_calc, E, 5))
+        for j in range(n_calc):
+            key, kj = jax.random.split(key)
+            gen_parts = []
+            for c in range(chunks):
+                sl = slice(c * csize, (c + 1) * csize)
+                kc = jax.random.fold_in(kj, c)
+                gen_parts.append(
+                    gen_chunk(state.gen.params, state.gen.stats, cond[sl], idx[sl], kc)
+                )
+            ch_gen = jnp.concatenate(gen_parts)
+            overall, per_exp = ws_all(ch_org, ch_gen, idx)
+            ws_runs[j] = np.asarray(overall)
+            ws_exp_runs[j] = np.asarray(per_exp)
+
+        ws_by_run = ws_runs.mean(axis=1)  # [n_calc]
+        ws_exp_by_run = ws_exp_runs.mean(axis=2)  # [n_calc, E]
+        counts = np.asarray(jnp.sum(idx[None, :] == jnp.arange(E)[:, None], axis=1))
+        metrics = {
+            "ws_mean": float(ws_by_run.mean()),
+            "ws_std": float(ws_by_run.std()),
+            "ws_mean_exp": ws_exp_by_run.mean(axis=0),
+            "ws_std_exp": ws_exp_by_run.std(axis=0),
+            "eval_expert_counts": counts,
+            "epoch": epoch,
+        }
+        return metrics
+
+    return evaluate

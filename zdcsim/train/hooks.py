@@ -1,0 +1,173 @@
+"""Training callbacks: metric logging, wandb, threshold-gated checkpointing.
+
+Parity with the reference hook system (expertsim/train/hooks.py): the same
+``on_train_start / on_epoch_start / on_epoch_end / on_train_end`` surface,
+a wandb logger (optional import, configured from ``cfg.wandb`` instead of the
+reference's hardcoded entity/project, hooks.py:17-18), a
+``CheckpointSaver`` that persists when ``ws_mean`` beats
+``train.ws_threshold_model_save`` (hooks.py:115-130), and a
+``MetricsTracker``. Callback failures are logged and swallowed like the
+reference loop (train/loop.py:80-84).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+class Callback:
+    def on_train_start(self, cfg, state) -> None: ...
+
+    def on_epoch_start(self, epoch: int) -> None: ...
+
+    def on_epoch_end(self, epoch: int, metrics: Dict[str, Any], state) -> None: ...
+
+    def on_train_end(self, history: List[Dict[str, Any]]) -> None: ...
+
+
+class CallbackList:
+    def __init__(self, callbacks: List[Callback]):
+        self.callbacks = callbacks
+
+    def _dispatch(self, method: str, *args) -> None:
+        for cb in self.callbacks:
+            try:
+                getattr(cb, method)(*args)
+            except Exception:  # noqa: BLE001 — parity: swallow with warning
+                log.warning("Callback %s.%s failed", type(cb).__name__, method, exc_info=True)
+
+    def on_train_start(self, cfg, state):
+        self._dispatch("on_train_start", cfg, state)
+
+    def on_epoch_start(self, epoch):
+        self._dispatch("on_epoch_start", epoch)
+
+    def on_epoch_end(self, epoch, metrics, state):
+        self._dispatch("on_epoch_end", epoch, metrics, state)
+
+    def on_train_end(self, history):
+        self._dispatch("on_train_end", history)
+
+
+class ConsoleLogger(Callback):
+    """Per-epoch log line of the headline metrics."""
+
+    def __init__(self):
+        self._t0 = None
+
+    def on_epoch_start(self, epoch):
+        self._t0 = time.time()
+
+    def on_epoch_end(self, epoch, metrics, state):
+        dt = time.time() - self._t0 if self._t0 else float("nan")
+        parts = [f"epoch {epoch} ({dt:.1f}s)"]
+        for k in ("gen_loss", "disc_loss", "router_loss", "ws_mean"):
+            if k in metrics and metrics[k] is not None:
+                parts.append(f"{k}={float(metrics[k]):.4f}")
+        log.info(" ".join(parts))
+
+
+class MetricsTracker(Callback):
+    """History accumulator with best-metric query (reference hooks.py:168-185)."""
+
+    def __init__(self):
+        self.history: List[Dict[str, Any]] = []
+
+    def on_epoch_end(self, epoch, metrics, state):
+        self.history.append({"epoch": epoch, **metrics})
+
+    def best(self, key: str = "ws_mean", mode: str = "min") -> Optional[Dict[str, Any]]:
+        rows = [h for h in self.history if h.get(key) is not None]
+        if not rows:
+            return None
+        pick = min if mode == "min" else max
+        return pick(rows, key=lambda h: h[key])
+
+
+class WandBLogger(Callback):
+    """wandb epoch logging with a flattened config (reference hooks.py:29-99).
+
+    No-op (with a warning) when wandb is not installed or logging disabled.
+    """
+
+    def __init__(self, cfg):
+        self.enabled = bool(cfg.wandb.log_experiments)
+        self.run = None
+
+    def on_train_start(self, cfg, state):
+        if not self.enabled:
+            return
+        try:
+            import wandb
+        except ImportError:
+            log.warning("wandb.log_experiments=true but wandb is not installed; disabling")
+            self.enabled = False
+            return
+        flat = _flatten(cfg.to_dict())
+        self.run = wandb.init(
+            project=cfg.wandb.get("project", "zdcsim"),
+            entity=cfg.wandb.get("entity") or None,
+            name=cfg.wandb.get("run_name", cfg.config.run_name),
+            config=flat,
+        )
+
+    def on_epoch_end(self, epoch, metrics, state):
+        if self.run is not None:
+            loggable = {
+                k: v for k, v in metrics.items()
+                if isinstance(v, (int, float, np.floating, np.integer)) and v is not None
+            }
+            self.run.log({"epoch": epoch, **loggable})
+
+    def on_train_end(self, history):
+        if self.run is not None:
+            self.run.finish()
+
+
+class CheckpointSaver(Callback):
+    """Persist the full train state when the WS metric beats the threshold
+    (reference hooks.py:115-130: ``ws_mean < ws_threshold_model_save``)."""
+
+    def __init__(self, dir_models: Optional[str], ws_threshold: float):
+        self.dir_models = dir_models
+        self.ws_threshold = float(ws_threshold)
+        self.saved_epochs: List[int] = []
+
+    def on_epoch_end(self, epoch, metrics, state):
+        if self.dir_models is None:
+            return
+        ws = metrics.get("ws_mean")
+        if ws is not None and float(ws) < self.ws_threshold:
+            from zdcsim.train.checkpoint import save_checkpoint
+
+            path = save_checkpoint(self.dir_models, epoch, state)
+            self.saved_epochs.append(epoch)
+            log.info("Saved checkpoint (ws_mean=%.3f < %.1f): %s", ws, self.ws_threshold, path)
+
+
+def _flatten(d: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in d.items():
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def setup_callbacks(cfg, dir_models: Optional[str]) -> CallbackList:
+    """Reference ``setup_callbacks`` (train/loop.py:357-375): wandb +
+    checkpointing + console + tracker."""
+    return CallbackList([
+        ConsoleLogger(),
+        MetricsTracker(),
+        WandBLogger(cfg),
+        CheckpointSaver(dir_models, cfg.train.ws_threshold_model_save),
+    ])

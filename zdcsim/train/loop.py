@@ -1,0 +1,118 @@
+"""Training orchestration: the epoch loop.
+
+Analog of the reference ``train()`` / ``train_epoch()`` / ``evaluate_epoch()``
+(expertsim/train/loop.py:27-255), with the per-batch GAN logic compiled into
+one jitted step (zdcsim.train.step). Metric accumulation stays on device for
+the whole epoch (one host sync per epoch; the reference converts every batch's
+~16 tensors to Python scalars, loop.py:138-142).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zdcsim.data import get_train_test_data, make_loaders
+from zdcsim.models import build_moe
+from zdcsim.train.evaluate import build_evaluator
+from zdcsim.train.hooks import setup_callbacks
+from zdcsim.train.state import init_state
+from zdcsim.train.step import build_train_step
+from zdcsim.utils.io import append_experiment_dir_to_cfg
+from zdcsim.utils.prng import fold_epoch_batch
+
+log = logging.getLogger(__name__)
+
+
+def _accumulate(acc, new):
+    if acc is None:
+        return new
+    return jax.tree_util.tree_map(jnp.add, acc, new)
+
+
+def _finalize_metrics(acc, n_batches: int) -> Dict[str, Any]:
+    """Device sums -> host floats; per-expert vectors expand to ``_i`` keys
+    matching the reference's wandb names (moe.py:480-504)."""
+    means = jax.tree_util.tree_map(lambda x: np.asarray(x) / n_batches, acc)
+    out: Dict[str, Any] = {}
+    for k, v in means.items():
+        v = np.asarray(v)
+        if v.ndim == 0:
+            out[k] = float(v)
+        else:
+            base = k[: -len("_experts")] if k.endswith("_experts") else k
+            for i, x in enumerate(v):
+                out[f"{base}_{i}"] = float(x)
+    return out
+
+
+def train(cfg, split=None, sharding=None, modules=None) -> List[Dict[str, Any]]:
+    """Full training run; returns the per-epoch metric history
+    (reference ``train()``, train/loop.py:27-94). ``modules`` overrides the
+    model bundle (tests inject tiny stand-ins)."""
+    if "experiment_dir" not in cfg.config:
+        append_experiment_dir_to_cfg(cfg)
+    if split is None:
+        split = get_train_test_data(cfg)
+
+    if modules is None:
+        modules = build_moe(cfg)
+    key = jax.random.PRNGKey(int(cfg.train.seed))
+    key, k_init = jax.random.split(key)
+    state = init_state(modules, cfg, k_init, batch_size=2)
+
+    start_epoch = 0
+    if cfg.train.checkpoint_experiment_dir is not None and cfg.train.epoch_to_load is not None:
+        from zdcsim.train.checkpoint import restore_checkpoint
+        from zdcsim.utils.io import DIR_MODELS
+
+        ckpt_models = DIR_MODELS.format(EXPERIMENT_DIR_NAME=cfg.train.checkpoint_experiment_dir)
+        state = restore_checkpoint(ckpt_models, int(cfg.train.epoch_to_load), state)
+        start_epoch = int(cfg.train.epoch_to_load)
+        log.info("Resumed from %s epoch %d", ckpt_models, start_epoch)
+
+    train_loader, test_loader = make_loaders(cfg, split, sharding=sharding)
+    train_step = build_train_step(modules, cfg)
+    evaluator = build_evaluator(modules, cfg)
+    callbacks = setup_callbacks(cfg, split.dir_models)
+    eval_every = int(cfg.train.get("eval_every", 1))
+
+    callbacks.on_train_start(cfg, state)
+    history: List[Dict[str, Any]] = []
+    epochs = int(cfg.train.epochs)
+    try:
+        for epoch in range(start_epoch, epochs):
+            callbacks.on_epoch_start(epoch)
+            t0 = time.time()
+            acc = None
+            n_batches = 0
+            for b, batch in enumerate(train_loader.epoch(epoch)):
+                step_key = fold_epoch_batch(key, epoch, b)
+                state, metrics = train_step(state, batch, step_key, jnp.asarray(epoch))
+                acc = _accumulate(acc, metrics)
+                n_batches += 1
+            epoch_metrics = _finalize_metrics(acc, n_batches)
+            epoch_metrics["epoch_time"] = time.time() - t0
+
+            if eval_every and (epoch % eval_every == 0 or epoch == epochs - 1):
+                eval_key = jax.random.fold_in(key, 10_000_000 + epoch)
+                ws = evaluator(state, test_loader.arrays, epoch, eval_key)
+                epoch_metrics["ws_mean"] = ws["ws_mean"]
+                epoch_metrics["ws_std"] = ws["ws_std"]
+                for i in range(modules.n_experts):
+                    epoch_metrics[f"ws_mean_{i}"] = float(ws["ws_mean_exp"][i])
+                    epoch_metrics[f"ws_std_{i}"] = float(ws["ws_std_exp"][i])
+
+            history.append({"epoch": epoch, **epoch_metrics})
+            callbacks.on_epoch_end(epoch, epoch_metrics, state)
+    except Exception:
+        log.exception("Training failed at epoch loop")
+        raise
+    finally:
+        callbacks.on_train_end(history)
+    return history

@@ -1,0 +1,350 @@
+"""The jitted MoE-GAN train step.
+
+TPU-native restructuring of the reference's ``MoEWrapper.train_step``
+(expertsim/models/moe.py:52-504). The reference subsets the batch per expert
+with boolean masks inside a Python loop and runs 2E+1 separate backward
+passes; XLA cannot compile data-dependent shapes, so here **every sample runs
+through every expert** (experts stacked on a leading axis via ``nn.vmap``)
+and each expert's loss terms are masked means weighted by its batch share
+``w_e = B_e/B`` — numerically identical to the reference's
+subset-mean-times-``w`` scheme, in ONE fused XLA program with exact static
+shapes.
+
+Per batch, in reference order (moe.py:123-207):
+1. router forward with gumbel-softmax at the epoch's temperature tau;
+2. discriminator hinge update (generator frozen);
+3. generator + aux-regressor update against the *updated* discriminator,
+   with SDI-GAN diversity, intensity, and log-cosh aux terms;
+4. router update from GAN/entropy/expert-distribution/differentiation/ALB
+   terms, frozen after ``stop_router_training_epoch``.
+
+Experts whose routed sub-batch has <= 1 sample are skipped exactly like the
+reference (moe.py:132-135): their params/opt-state/stats are frozen via
+:func:`zdcsim.train.state.masked_expert_update`.
+
+Documented divergences from the reference:
+- The reference appends *detached* generator losses to its router GAN term
+  (moe.py:176-207 ``gen_losses.append(gen_loss.detach())``), so no gradient
+  ever reaches the router from it. With
+  ``router.differentiable_gan_term: true`` (zdcsim default) the GAN term is
+  the straight-through-gate-weighted per-sample hinge score, which actually
+  trains the router; ``false`` reproduces the reference's constant term.
+- The reference multiplies ``diff_strength`` into its differentiation loss
+  twice (moe.py:399+405); zdcsim applies it once.
+- Spectral-norm power iteration advances once per forward like torch, but
+  the exact iteration count per step differs by construction; both converge
+  to the dominant singular vector.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from zdcsim.models import MoEModules
+from zdcsim.ops.losses import (
+    adaptive_load_balancing_loss,
+    alb_annealing_weight,
+    differentiation_loss,
+    expert_distribution_loss,
+    expert_utilization_entropy,
+    hinge_discriminator_loss,
+    hinge_generator_loss,
+    intensity_regularization,
+    log_cosh_loss,
+    sdi_gan_regularization,
+    tau_schedule,
+)
+from zdcsim.ops.routing import expert_masks
+from zdcsim.train.state import (
+    Component,
+    MoETrainState,
+    ema_update,
+    gated_update,
+    make_optimizers,
+    masked_expert_update,
+)
+
+# ops losses vmapped over the leading expert axis; scalars/shared arrays
+# broadcast (in_axes=None). Semantics stay bit-identical to the unit-tested
+# single-expert functions.
+_hinge_d_e = jax.vmap(hinge_discriminator_loss, in_axes=(0, 0, 0))
+_hinge_g_e = jax.vmap(hinge_generator_loss, in_axes=(0, 0))
+_sdi_e = jax.vmap(sdi_gan_regularization, in_axes=(0, 0, None, None, None, None, 0))
+_intensity_e = jax.vmap(intensity_regularization, in_axes=(0, None, None, 0))
+_log_cosh_e = jax.vmap(log_cosh_loss, in_axes=(None, 0, 0))
+
+
+def _apply(module, params, stats, *args, rngs=None, **kwargs):
+    """Apply a module with mutable non-param collections; returns (out, stats)."""
+    variables = {"params": params, **stats}
+    mutable = list(stats.keys())
+    if mutable:
+        out, updates = module.apply(variables, *args, rngs=rngs, mutable=mutable, **kwargs)
+        return out, updates
+    return module.apply(variables, *args, rngs=rngs, **kwargs), stats
+
+
+def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
+    """Returns ``train_step(state, batch, key, epoch) -> (state, metrics)``,
+    jitted with ``epoch`` traced (one compilation covers all epochs).
+
+    With ``mesh`` (and an ``example_state`` for its pytree structure), the
+    step compiles as one GSPMD program: batch sharded over the data axis,
+    expert-stacked parameters sharded over the expert axis, gradient psums
+    and expert collectives inserted by XLA (zdcsim.parallel).
+    """
+    E = modules.n_experts
+    noise_dim = modules.noise_dim
+    mc = cfg.model
+    di_strength = float(mc.generator.di_strength)
+    in_strength = float(mc.generator.in_strength)
+    aux_strength = float(mc.aux_reg.strength)
+    r = mc.router
+    gan_strength = float(r.gan_strength)
+    util_strength = float(r.util_strength)
+    ed_strength = float(r.ed_strength)
+    diff_strength = float(r.diff_strength)
+    alb_strength = float(r.alb_strength)
+    tau_start, tau_min, tau_decay = float(r.tau_start), float(r.tau_min), float(r.tau_decay)
+    stop_epoch = r.get("stop_router_training_epoch")
+    alpha = int(r.alpha)
+    min_weight = float(r.min_weight)
+    differentiable_gan = bool(r.get("differentiable_gan_term", True))
+    ema_decay = float(cfg.train.get("ema_decay", 0.99))
+    txs = make_optimizers(cfg)
+
+    gen_mod, disc_mod, aux_mod, router_mod = (
+        modules.generator, modules.discriminator, modules.aux_reg, modules.router,
+    )
+
+    def train_step(
+        state: MoETrainState, batch: Dict[str, jnp.ndarray], key: jax.Array, epoch: jnp.ndarray
+    ) -> Tuple[MoETrainState, Dict[str, jnp.ndarray]]:
+        real = batch["real"]  # [B, H, W, 1]
+        cond = batch["cond"]  # [B, C]
+        std = batch["std"]  # [B, 1]
+        intensity = batch["intensity"]  # [B, 1]
+        positions = batch["positions"]  # [B, 2]
+        B = real.shape[0]
+
+        k_gumbel, k_n1, k_n2, k_g1, k_g2, k_aux = jax.random.split(key, 6)
+        epoch_f = jnp.asarray(epoch, jnp.float32)
+        tau = tau_schedule(epoch_f, tau_start, tau_min, tau_decay)
+
+        # ------ routing (moe.py:74-103) ------
+        _, logits = router_mod.apply({"params": state.router.params}, cond)
+        gumbel_noise = jax.random.gumbel(k_gumbel, logits.shape, logits.dtype)
+        gates_soft = jax.nn.softmax((logits + gumbel_noise) / tau, axis=-1)
+        idx = jnp.argmax(gates_soft, axis=-1)  # [B]
+        masks = expert_masks(idx, E)  # [E, B]
+        counts = jnp.sum(masks, axis=1)  # [E]
+        w = counts / B  # class share, moe.py:105-106
+        active = counts > 1.0  # B_e <= 1 experts skip training, moe.py:132
+        active_f = active.astype(jnp.float32)
+
+        noise_1 = jax.random.normal(k_n1, (B, noise_dim))
+        noise_2 = jax.random.normal(k_n2, (B, noise_dim))
+        real_e = jnp.broadcast_to(real[None], (E,) + real.shape)
+
+        # ------ discriminator update (moe.py:506-527) ------
+        fake_1, _ = _apply(
+            gen_mod, state.gen.params, state.gen.stats, noise_1, cond, True,
+            rngs={"dropout": k_g1},
+        )  # [E, B, H, W, 1]; generator frozen for the D step
+        fake_1 = jax.lax.stop_gradient(fake_1)
+
+        def d_loss_fn(d_params):
+            (real_scores, _), st1 = _apply(
+                disc_mod, d_params, state.disc.stats, real_e, cond, True
+            )
+            (fake_scores, _), st2 = _apply(disc_mod, d_params, st1, fake_1, cond, True)
+            d_loss_e = _hinge_d_e(real_scores[..., 0], fake_scores[..., 0], masks)  # [E]
+            d_weighted = d_loss_e * w * active_f
+            return jnp.sum(d_weighted), (st2, d_weighted)
+
+        d_grads, (disc_stats_new, disc_loss_e) = jax.grad(d_loss_fn, has_aux=True)(
+            state.disc.params
+        )
+        disc_new = masked_expert_update(
+            txs["disc"], state.disc, d_grads, active, new_stats=disc_stats_new
+        )
+
+        # ------ generator + aux update vs the UPDATED discriminator
+        # (reference order: D steps before G inside the same batch) ------
+        def g_loss_fn(g_params, a_params):
+            fake1, gst1 = _apply(
+                gen_mod, g_params, state.gen.stats, noise_1, cond, True,
+                rngs={"dropout": k_g1},
+            )
+            fake2, gst2 = _apply(
+                gen_mod, g_params, gst1, noise_2, cond, True, rngs={"dropout": k_g2}
+            )
+            (s1, l1), dst1 = _apply(disc_mod, disc_new.params, disc_new.stats, fake1, cond, True)
+            (s2, l2), dst2 = _apply(disc_mod, disc_new.params, dst1, fake2, cond, True)
+
+            hinge_e = _hinge_g_e(s1[..., 0], masks)  # [E]
+            div_e = _sdi_e(l1, l2, noise_1, noise_2, std, di_strength, masks)  # [E]
+            int_loss_e, sums1, std_int_e, mean_int_e = _intensity_e(
+                fake1, intensity, in_strength, masks
+            )  # [E], [E,B], [E], [E]
+            aux_pred, ast = _apply(
+                aux_mod, a_params, state.aux.stats, fake1, True, rngs={"dropout": k_aux}
+            )  # [E, B, 2]
+            aux_loss_e = _log_cosh_e(positions, aux_pred, masks) * aux_strength  # [E]
+
+            gen_total_e = (hinge_e + div_e + int_loss_e + aux_loss_e) * w * active_f
+            loss = jnp.sum(gen_total_e)
+            aux_out = dict(
+                gen_loss_e=gen_total_e, div_loss_e=div_e, intensity_loss_e=int_loss_e,
+                aux_loss_e=aux_loss_e, mean_int_e=mean_int_e, std_int_e=std_int_e,
+                sums1=sums1, fake_scores=s1[..., 0],
+                gen_stats=gst2, aux_stats=ast, disc_stats=dst2,
+            )
+            return loss, aux_out
+
+        (g_grads, a_grads), gaux = jax.grad(g_loss_fn, argnums=(0, 1), has_aux=True)(
+            state.gen.params, state.aux.params
+        )
+        gen_new = masked_expert_update(
+            txs["gen"], state.gen, g_grads, active, new_stats=gaux["gen_stats"]
+        )
+        aux_new = masked_expert_update(
+            txs["aux"], state.aux, a_grads, active, new_stats=gaux["aux_stats"]
+        )
+        # The G-step discriminator forwards advance SN power iteration too
+        # (torch updates u every train-mode forward).
+        disc_new = Component(
+            params=disc_new.params,
+            stats=jax.tree_util.tree_map(
+                lambda n, o: jnp.where(
+                    active.reshape((E,) + (1,) * (n.ndim - 1)), n, o
+                ) if n.ndim >= 1 and n.shape[0] == E else n,
+                gaux["disc_stats"], disc_new.stats,
+            ),
+            opt_state=disc_new.opt_state,
+        )
+        ema_params = ema_update(state.ema_gen_params, gen_new.params, ema_decay)
+
+        # Per-sample generated photon sum from the routed expert (the
+        # reference's mean_intensities_in_batch_expert, moe.py:197-201).
+        sums_routed = jax.lax.stop_gradient(
+            jnp.take_along_axis(gaux["sums1"], idx[None, :], axis=0)[0]
+        )  # [B]
+        mean_int_e_det = jax.lax.stop_gradient(gaux["mean_int_e"]) * active_f
+        fake_scores_det = jax.lax.stop_gradient(gaux["fake_scores"])  # [E, B]
+        gen_loss_e_det = jax.lax.stop_gradient(gaux["gen_loss_e"])
+
+        # ------ router update (moe.py:213-442) ------
+        if E > 1:
+            def r_loss_fn(r_params):
+                _, logits_r = router_mod.apply({"params": r_params}, cond)
+                soft_r = jax.nn.softmax((logits_r + gumbel_noise) / tau, axis=-1)
+                hard = jax.nn.one_hot(idx, E, dtype=soft_r.dtype)
+                gates_st = hard + soft_r - jax.lax.stop_gradient(soft_r)
+
+                if differentiable_gan:
+                    # ST-gate-weighted per-sample hinge (zdcsim divergence,
+                    # see module docstring): gradients reach the router.
+                    gan_term = jnp.mean(
+                        jnp.sum(gates_st.T * (-fake_scores_det), axis=0)
+                    ) * gan_strength
+                else:
+                    gan_term = jnp.mean(gen_loss_e_det) * gan_strength  # constant
+
+                if util_strength != 0.0:
+                    entropy_term = -expert_utilization_entropy(soft_r, util_strength)
+                else:
+                    entropy_term = jnp.asarray(0.0)
+                if ed_strength != 0.0:
+                    ed_term = (
+                        expert_distribution_loss(gates_st, sums_routed[:, None])
+                        * ed_strength
+                    )
+                else:
+                    ed_term = jnp.asarray(0.0)
+                if diff_strength != 0.0:
+                    diff_term = -differentiation_loss(mean_int_e_det) * diff_strength
+                else:
+                    diff_term = jnp.asarray(0.0)
+                if alb_strength != 0.0:
+                    alb_term = adaptive_load_balancing_loss(
+                        jnp.sum(soft_r, axis=0), alb_strength
+                    )
+                else:
+                    alb_term = jnp.asarray(0.0)
+                decreasing_w = alb_annealing_weight(epoch_f, alpha, min_weight)
+                loss = ed_term + gan_term + diff_term + entropy_term + decreasing_w * alb_term
+                return loss, dict(
+                    gan=gan_term, entropy=entropy_term, ed=ed_term, diff=diff_term, alb=alb_term
+                )
+
+            r_grads, raux = jax.grad(r_loss_fn, has_aux=True)(state.router.params)
+            router_enabled = (
+                jnp.asarray(True)
+                if stop_epoch is None
+                else jnp.asarray(epoch, jnp.int32) < int(stop_epoch)
+            )
+            router_new = gated_update(txs["router"], state.router, r_grads, router_enabled)
+            router_loss = jnp.where(
+                router_enabled,
+                raux["ed"] + raux["gan"] + raux["diff"] + raux["entropy"]
+                + alb_annealing_weight(epoch_f, alpha, min_weight) * raux["alb"],
+                0.0,
+            )
+        else:
+            router_new = state.router
+            router_loss = jnp.asarray(0.0)
+            raux = dict(gan=jnp.asarray(0.0), entropy=jnp.asarray(0.0),
+                        ed=jnp.asarray(0.0), diff=jnp.asarray(0.0), alb=jnp.asarray(0.0))
+
+        new_state = MoETrainState(
+            gen=gen_new, disc=disc_new, aux=aux_new, router=router_new,
+            ema_gen_params=ema_params, step=state.step + 1,
+        )
+
+        # Metric names mirror the reference log dict (moe.py:480-504).
+        zero_inactive = lambda x: jnp.where(active, x, 0.0)
+        metrics = {
+            "gen_loss": jnp.mean(gen_loss_e_det),
+            "disc_loss": jnp.mean(jax.lax.stop_gradient(disc_loss_e)),
+            "div_loss": jnp.mean(zero_inactive(gaux["div_loss_e"])),
+            "intensity_loss": jnp.mean(zero_inactive(gaux["intensity_loss_e"])),
+            "aux_reg_loss": jnp.mean(zero_inactive(gaux["aux_loss_e"])),
+            "router_loss": router_loss,
+            "expert_distribution_loss": raux["ed"],
+            "differentiation_loss": -raux["diff"],
+            "expert_entropy_loss": raux["entropy"],
+            "adaptive_load_balancing_loss": raux["alb"],
+            "gan_loss": raux["gan"],
+            "tau": tau,
+            "gen_loss_experts": gen_loss_e_det,
+            "disc_loss_experts": jax.lax.stop_gradient(disc_loss_e),
+            "div_loss_experts": zero_inactive(gaux["div_loss_e"]),
+            "intensity_loss_experts": zero_inactive(gaux["intensity_loss_e"]),
+            "aux_reg_loss_experts": zero_inactive(gaux["aux_loss_e"]),
+            "std_intensities_experts": zero_inactive(gaux["std_int_e"]),
+            "mean_intensities_experts": mean_int_e_det,
+            "n_choosen_experts_mean_epoch": w,
+        }
+        metrics = jax.lax.stop_gradient(metrics)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    from zdcsim.parallel.mesh import batch_sharding, replicated, state_shardings
+
+    if example_state is None:
+        raise ValueError("mesh-compiled train step needs example_state for sharding structure")
+    ss = state_shardings(mesh, example_state, E)
+    bs = {k: batch_sharding(mesh) for k in ("real", "cond", "std", "intensity", "positions")}
+    rep = replicated(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(ss, bs, rep, rep),
+        donate_argnums=(0,),
+    )
