@@ -31,8 +31,10 @@ def main() -> int:
     modules = build_moe(cfg)
     state = init_state(modules, cfg, jax.random.PRNGKey(0), batch_size=2)
 
+    # Batch 1024: dense all-expert decode peaks ~2.3 GB of bf16 activations
+    # on a 16 GB v5e chip; 8192 OOMs (18 GB broadcast in the generator stem).
     engine = FastSim.from_state(
-        modules, state, use_ema=False, batch_size=8192, precision="bf16"
+        modules, state, use_ema=False, batch_size=1024, precision="bf16"
     )
     stats = engine.throughput(n_batches=30, warmup=5)
     value = stats["showers_per_sec"]

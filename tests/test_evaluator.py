@@ -115,3 +115,18 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     )
     assert all(jax.tree_util.tree_leaves(same))
     assert int(restored.step) == int(state.step)
+
+
+def test_fastsim_grouped_dispatch(setup):
+    from zdcsim.inference import FastSim
+
+    cfg, modules, state = setup
+    engine = FastSim.from_state(modules, state, batch_size=32)
+    cond = np.random.default_rng(1).normal(size=(70, 9)).astype(np.float32)
+    dense, experts = engine.simulate(cond, jax.random.PRNGKey(0), return_experts=True)
+    grouped = engine.simulate_grouped(cond, jax.random.PRNGKey(0))
+    assert grouped.shape == (70, *SHAPE)
+    assert grouped.min() >= 0.0
+    # grouped uses the same router as dense
+    idx = np.asarray(engine._route(engine._weights, jnp.asarray(cond)))
+    np.testing.assert_array_equal(idx, np.asarray(experts))

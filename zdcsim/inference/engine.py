@@ -100,6 +100,98 @@ class FastSim:
         else:
             self._sim = jax.jit(sim)
 
+    def _build_grouped(self):
+        """Per-expert decode programs for grouped dispatch.
+
+        Grouped mode routes on device, buckets the batch by expert on the
+        host, pads each bucket to a power-of-two size, and decodes each
+        bucket with ONLY its expert's generator (params sliced from the
+        stacked tree inside jit) — ~E× fewer FLOPs than dense all-expert
+        decode at the price of one device->host sync for the routing ids.
+        The compiled-program set is E x log2(sizes), cached by XLA.
+        """
+        import functools
+
+        gen_single = self.modules.generator_single
+        if gen_single is None:
+            raise ValueError("grouped dispatch needs modules.generator_single")
+        dtype = self._dtype
+
+        @functools.partial(jax.jit, static_argnames=("expert",))
+        def decode_one(weights, cond, key, expert: int):
+            gp, gs, _ = weights
+            # One expert's slice of the stacked trees == the unstacked
+            # module's parameter structure (nn.vmap variable_axes={'params':0}).
+            gp_e = jax.tree_util.tree_map(lambda p: p[expert], gp)
+            gs_e = jax.tree_util.tree_map(lambda p: p[expert], gs)
+            noise = jax.random.normal(key, (cond.shape[0], self.noise_dim), dtype)
+            variables = {"params": gp_e, **gs_e}
+            mutable = list(gs_e.keys())
+            if mutable:
+                imgs, _ = gen_single.apply(
+                    variables, noise, cond.astype(dtype), False, mutable=mutable
+                )
+            else:
+                imgs = gen_single.apply(variables, noise, cond.astype(dtype), False)
+            return jnp.expm1(imgs[..., 0].astype(jnp.float32))
+
+        @jax.jit
+        def route(weights, cond):
+            _, _, rp = weights
+            _, logits = self.modules.router.apply({"params": rp}, cond)
+            return jnp.argmax(logits, axis=-1)
+
+        self._decode_one = decode_one
+        self._route = route
+
+    @staticmethod
+    def _bucket_size(n: int, minimum: int = 256) -> int:
+        size = minimum
+        while size < n:
+            size *= 2
+        return size
+
+    def simulate_grouped(self, cond, key: jax.Array):
+        """Grouped-dispatch generation (see _build_grouped): [N, 9] -> [N, H, W]."""
+        if not hasattr(self, "_decode_one"):
+            self._build_grouped()
+        cond = jnp.asarray(cond, jnp.float32)
+        n = cond.shape[0]
+        idx = np.asarray(self._route(self._weights, cond))  # host sync
+        h, w = self.image_shape
+        out = np.empty((n, h, w), np.float32)
+        e_count = self.modules.n_experts
+        for e in range(e_count):
+            sel = np.flatnonzero(idx == e)
+            if sel.size == 0:
+                continue
+            size = self._bucket_size(sel.size)
+            bucket = jnp.zeros((size, cond.shape[1]), jnp.float32)
+            bucket = bucket.at[: sel.size].set(cond[sel])
+            imgs = self._decode_one(self._weights, bucket, jax.random.fold_in(key, e), e)
+            out[sel] = np.asarray(imgs[: sel.size])
+        return out
+
+    def throughput_grouped(self, n_batches: int = 20, warmup: int = 3, key=None):
+        """Steady-state grouped-dispatch throughput (balanced random routing)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        cond = np.asarray(
+            jax.random.normal(jax.random.fold_in(key, 1), (self.batch_size, self.modules.cond_dim))
+        )
+        for i in range(warmup):
+            out = self.simulate_grouped(cond, jax.random.fold_in(key, i))
+        t0 = time.perf_counter()
+        for i in range(n_batches):
+            out = self.simulate_grouped(cond, jax.random.fold_in(key, 100 + i))
+        dt = time.perf_counter() - t0
+        total = n_batches * self.batch_size
+        return {
+            "showers_per_sec": total / dt,
+            "batch_size": float(self.batch_size),
+            "seconds": dt,
+            "n_showers": float(total),
+        }
+
     @classmethod
     def from_state(cls, modules: MoEModules, state, use_ema: bool = True, **kwargs) -> "FastSim":
         gen_params = state.ema_gen_params if use_ema else state.gen.params

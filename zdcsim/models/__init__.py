@@ -78,7 +78,13 @@ def stack_experts(
 
 @dataclass
 class MoEModules:
-    """The four Flax modules of one MoE system plus its geometry."""
+    """The four Flax modules of one MoE system plus its geometry.
+
+    ``generator_single`` is the unstacked generator class instance: its
+    parameter tree matches one leading-axis slice of the stacked tree, which
+    grouped inference dispatch uses to decode a bucket with a single
+    expert's weights (zdcsim.inference.engine._build_grouped).
+    """
 
     generator: nn.Module
     discriminator: nn.Module
@@ -89,6 +95,7 @@ class MoEModules:
     cond_dim: int
     image_shape: Tuple[int, int]
     names: Dict[str, str] = field(default_factory=dict)
+    generator_single: nn.Module | None = None
 
 
 def build_moe(cfg) -> MoEModules:
@@ -120,6 +127,7 @@ def build_moe(cfg) -> MoEModules:
         discriminator=discriminator,
         aux_reg=aux_reg,
         router=router,
+        generator_single=gen_cls(noise_dim=noise_dim, cond_dim=cond_dim),
         n_experts=n_experts,
         noise_dim=noise_dim,
         cond_dim=cond_dim,

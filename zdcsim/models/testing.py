@@ -75,6 +75,9 @@ def build_tiny_moe(cfg, image_shape: Tuple[int, int] = (8, 6)) -> MoEModules:
         discriminator=discriminator,
         aux_reg=aux_reg,
         router=router,
+        generator_single=TinyGenerator(
+            noise_dim=noise_dim, cond_dim=cond_dim, image_shape=image_shape
+        ),
         n_experts=n_experts,
         noise_dim=noise_dim,
         cond_dim=cond_dim,

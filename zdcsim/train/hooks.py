@@ -80,7 +80,9 @@ class MetricsTracker(Callback):
         self.history: List[Dict[str, Any]] = []
 
     def on_epoch_end(self, epoch, metrics, state):
-        self.history.append({"epoch": epoch, **metrics})
+        self.history.append(
+            {"epoch": epoch, **{k: v for k, v in metrics.items() if not k.startswith("_")}}
+        )
 
     def best(self, key: str = "ws_mean", mode: str = "min") -> Optional[Dict[str, Any]]:
         rows = [h for h in self.history if h.get(key) is not None]
@@ -119,10 +121,14 @@ class WandBLogger(Callback):
 
     def on_epoch_end(self, epoch, metrics, state):
         if self.run is not None:
+            import wandb
+
             loggable = {
                 k: v for k, v in metrics.items()
                 if isinstance(v, (int, float, np.floating, np.integer)) and v is not None
             }
+            for name, fig in (metrics.get("_figures") or {}).items():
+                loggable[name] = wandb.Image(fig)
             self.run.log({"epoch": epoch, **loggable})
 
     def on_train_end(self, history):

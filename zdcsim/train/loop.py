@@ -10,6 +10,7 @@ the whole epoch (one host sync per epoch; the reference converts every batch's
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Any, Dict, List, Optional
 
@@ -25,6 +26,7 @@ from zdcsim.train.state import init_state
 from zdcsim.train.step import build_train_step
 from zdcsim.utils.io import append_experiment_dir_to_cfg
 from zdcsim.utils.prng import fold_epoch_batch
+from zdcsim.utils.profiling import trace
 
 log = logging.getLogger(__name__)
 
@@ -85,17 +87,25 @@ def train(cfg, split=None, sharding=None, modules=None) -> List[Dict[str, Any]]:
     callbacks.on_train_start(cfg, state)
     history: List[Dict[str, Any]] = []
     epochs = int(cfg.train.epochs)
+    profile_epoch = cfg.train.get("profile_epoch")
+    profile_dir = cfg.train.get("profile_dir") or os.path.join(
+        str(cfg.config.experiment_dir), "traces"
+    )
+    plot_images = bool(cfg.wandb.get("plot_images", False)) or bool(
+        cfg.train.get("save_eval_plots", False)
+    )
     try:
         for epoch in range(start_epoch, epochs):
             callbacks.on_epoch_start(epoch)
             t0 = time.time()
             acc = None
             n_batches = 0
-            for b, batch in enumerate(train_loader.epoch(epoch)):
-                step_key = fold_epoch_batch(key, epoch, b)
-                state, metrics = train_step(state, batch, step_key, jnp.asarray(epoch))
-                acc = _accumulate(acc, metrics)
-                n_batches += 1
+            with trace(profile_dir if profile_epoch == epoch else None):
+                for b, batch in enumerate(train_loader.epoch(epoch)):
+                    step_key = fold_epoch_batch(key, epoch, b)
+                    state, metrics = train_step(state, batch, step_key, jnp.asarray(epoch))
+                    acc = _accumulate(acc, metrics)
+                    n_batches += 1
             epoch_metrics = _finalize_metrics(acc, n_batches)
             epoch_metrics["epoch_time"] = time.time() - t0
 
@@ -107,8 +117,25 @@ def train(cfg, split=None, sharding=None, modules=None) -> List[Dict[str, Any]]:
                 for i in range(modules.n_experts):
                     epoch_metrics[f"ws_mean_{i}"] = float(ws["ws_mean_exp"][i])
                     epoch_metrics[f"ws_std_{i}"] = float(ws["ws_std_exp"][i])
+                if plot_images:
+                    from zdcsim.train.eval_plots import generate_eval_figures, save_figures
 
-            history.append({"epoch": epoch, **epoch_metrics})
+                    try:
+                        figs = generate_eval_figures(
+                            modules, state, test_loader.arrays, epoch,
+                            cfg.get("data_cond_names") or [f"c{i}" for i in range(9)],
+                            jax.random.fold_in(key, 20_000_000 + epoch),
+                        )
+                        save_figures(
+                            figs, os.path.join(str(cfg.config.experiment_dir), "plots"), epoch
+                        )
+                        epoch_metrics["_figures"] = figs
+                    except Exception:
+                        log.warning("Eval figure generation failed", exc_info=True)
+
+            history.append(
+                {"epoch": epoch, **{k: v for k, v in epoch_metrics.items() if not k.startswith("_")}}
+            )
             callbacks.on_epoch_end(epoch, epoch_metrics, state)
     except Exception:
         log.exception("Training failed at epoch loop")
