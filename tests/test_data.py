@@ -207,3 +207,16 @@ def test_native_gather_rows(rng):
     src = rng.random((50, 7, 3)).astype(np.float32)
     idx = rng.integers(0, 50, 16)
     np.testing.assert_array_equal(native.gather_rows(src, idx), src[idx])
+
+
+def test_stratified_batch_order(rng):
+    from zdcsim.data.loader import stratified_batch_order
+
+    labels = np.array([0] * 60 + [1] * 30 + [2] * 10)
+    order = stratified_batch_order(labels, batch_size=20, rng=np.random.default_rng(0))
+    assert sorted(order.tolist()) == list(range(100))
+    # each batch of 20 approximates the 6:3:1 global mix
+    for b in range(5):
+        batch_labels = labels[order[b * 20 : (b + 1) * 20]]
+        counts = np.bincount(batch_labels, minlength=3)
+        assert abs(counts[0] - 12) <= 3 and abs(counts[1] - 6) <= 3 and abs(counts[2] - 2) <= 2

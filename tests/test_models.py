@@ -134,3 +134,19 @@ def test_build_moe_neutron_config():
         rngs={"dropout": KEYS["dropout"]}, mutable=["batch_stats"],
     )
     assert out.shape == (3, 2, 44, 44, 1)
+
+
+def test_expert_dense_grouped_linear():
+    from zdcsim.models.layers import ExpertDense
+
+    E, Bb, I, O = 3, 4, 5, 7
+    layer = ExpertDense(n_experts=E, features=O)
+    x = jax.random.normal(jax.random.PRNGKey(0), (E, Bb, I))
+    variables = layer.init(jax.random.PRNGKey(1), x)
+    y = layer.apply(variables, x)
+    assert y.shape == (E, Bb, O)
+    # matches per-expert matmul
+    k = variables["params"]["kernel"]
+    b = variables["params"]["bias"]
+    ref = jnp.stack([x[e] @ k[e] + b[e, 0] for e in range(E)])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5)

@@ -43,6 +43,7 @@ class DeviceLoader:
         shuffle: bool = True,
         seed: int = 0,
         sharding: Optional[jax.sharding.Sharding] = None,
+        stratify_labels: Optional[np.ndarray] = None,
     ):
         lengths = {k: len(v) for k, v in arrays.items()}
         if len(set(lengths.values())) != 1:
@@ -54,6 +55,9 @@ class DeviceLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.sharding = sharding
+        self.stratify_labels = (
+            np.asarray(stratify_labels) if stratify_labels is not None else None
+        )
         self.n_batches = self.n // self.batch_size
         self.arrays = {
             k: jax.device_put(jnp.asarray(v)) for k, v in arrays.items()
@@ -61,7 +65,10 @@ class DeviceLoader:
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[BatchDict]:
         """Iterate the batches of one epoch (deterministic in epoch_idx)."""
-        if self.shuffle:
+        if self.shuffle and self.stratify_labels is not None:
+            rng = np.random.default_rng((self.seed, epoch_idx))
+            order = stratified_batch_order(self.stratify_labels, self.batch_size, rng)
+        elif self.shuffle:
             rng = np.random.default_rng((self.seed, epoch_idx))
             order = rng.permutation(self.n)
         else:
@@ -75,6 +82,29 @@ class DeviceLoader:
 
     def __len__(self) -> int:
         return self.n_batches
+
+
+def stratified_batch_order(
+    labels: np.ndarray, batch_size: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Epoch ordering in which every batch approximates the global label mix.
+
+    Functional equivalent of the reference's (unused) ``StratifiedBatchSampler``
+    (expertsim/train/training_utils.py:270-288, StratifiedKFold over labels):
+    shuffle within each label class, then interleave classes proportionally so
+    each contiguous ``batch_size`` slice is stratified.
+    """
+    labels = np.asarray(labels).ravel()
+    n = labels.shape[0]
+    order = np.empty(n, dtype=np.int64)
+    classes = np.unique(labels)
+    # Proportional positions: sort a per-class uniform grid jointly.
+    keys = np.empty(n, dtype=np.float64)
+    for c in classes:
+        members = rng.permutation(np.flatnonzero(labels == c))
+        keys[members] = (np.arange(members.size) + rng.random(members.size)) / members.size
+    order = np.argsort(keys, kind="stable")
+    return order
 
 
 def split_to_arrays(split, train: bool) -> Dict[str, np.ndarray]:

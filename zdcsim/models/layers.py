@@ -93,6 +93,36 @@ class SNConv(nn.Module):
         return nn.SpectralNorm(conv)(x, update_stats=train)
 
 
+class ExpertDense(nn.Module):
+    """All-experts batched linear: ``[E, B, I] x [E, I, O] -> [E, B, O]``.
+
+    The explicit einsum counterpart of the reference's dormant
+    ``GroupedLinear`` (expertsim/models/proton/discriminator.py:8-45, its
+    abandoned attempt at vectorizing experts). zdcsim's primary expert
+    vectorization is ``stack_experts`` (nn.vmap); this layer exists for
+    architectures that want a grouped projection *inside* a single module —
+    the einsum lowers to one batched MXU matmul.
+    """
+
+    n_experts: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(0,)),
+            (self.n_experts, in_features, self.features),
+        )
+        y = jnp.einsum("ebi,eio->ebo", x, kernel)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.n_experts, 1, self.features))
+            y = y + bias
+        return y
+
+
 class MLPBlock(nn.Module):
     """Dense + LayerNorm + LeakyReLU(0.1) used across the reference heads."""
 
