@@ -25,11 +25,11 @@ def main() -> int:
     from zdcsim.config import load_config
     from zdcsim.inference import FastSim
     from zdcsim.models import build_moe
-    from zdcsim.train.state import init_state
+    from zdcsim.train.state import init_state_jit
 
     cfg = load_config(overrides=["model.n_experts=3"])
     modules = build_moe(cfg)
-    state = init_state(modules, cfg, jax.random.PRNGKey(0), batch_size=2)
+    state = init_state_jit(modules, cfg, jax.random.PRNGKey(0))
 
     # Batch 1024: dense all-expert decode peaks ~2.3 GB of bf16 activations
     # on a 16 GB v5e chip; 8192 OOMs (18 GB broadcast in the generator stem).

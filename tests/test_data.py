@@ -220,3 +220,29 @@ def test_stratified_batch_order(rng):
         batch_labels = labels[order[b * 20 : (b + 1) * 20]]
         counts = np.bincount(batch_labels, minlength=3)
         assert abs(counts[0] - 12) <= 3 and abs(counts[1] - 6) <= 3 and abs(counts[2] - 2) <= 2
+
+
+def test_prep_pickle_roundtrip(tmp_path, rng):
+    """prepare_dataset -> reference-format pickles -> get_dataset."""
+    import pandas as pd
+
+    from zdcsim.data.prep import prepare_dataset, save_prepared
+    from zdcsim.data.synthetic import _render_showers, _sample_kinematics
+
+    kin = _sample_kinematics(np.random.default_rng(0), 32, "proton")
+    raw = _render_showers(np.random.default_rng(1), kin, (8, 6))
+    ds = prepare_dataset(raw, kin, "proton")
+    pi, pc, pp = str(tmp_path / "i.pkl"), str(tmp_path / "c.pkl"), str(tmp_path / "p.pkl")
+    save_prepared(ds, pi, pc, pp)
+
+    cfg = load_config(overrides=[
+        f"dataset.DATA_IMAGES_PATH={pi}",
+        f"dataset.DATA_COND_PATH={pc}",
+        f"dataset.DATA_POSITIONS_PATH={pp}",
+        "dataset.MIN_INTENSITY_THRESHOLD=null",
+        "dataset.input_image_shape=[8, 6]",
+    ])
+    loaded = get_dataset(cfg)
+    assert loaded.n_events == ds.n_events
+    np.testing.assert_allclose(loaded.images, ds.images, rtol=1e-6)
+    np.testing.assert_allclose(loaded.positions, ds.positions, rtol=1e-6)

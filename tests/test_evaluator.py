@@ -130,3 +130,24 @@ def test_fastsim_grouped_dispatch(setup):
     # grouped uses the same router as dense
     idx = np.asarray(engine._route(engine._weights, jnp.asarray(cond)))
     np.testing.assert_array_equal(idx, np.asarray(experts))
+
+
+def test_fastsim_switch_dispatch_matches_dense(setup):
+    from zdcsim.inference import FastSim
+
+    cfg, modules, state = setup
+    engine = FastSim.from_state(modules, state, batch_size=64)
+    engine._build_switch(tile=16)
+    cond = np.random.default_rng(3).normal(size=(64, 9)).astype(np.float32)
+    key = jax.random.PRNGKey(5)
+    dense, idx_d = engine.simulate(cond, key, return_experts=True)
+    sw, idx_s = engine.simulate_switch(cond, key, return_experts=True)
+    np.testing.assert_array_equal(np.asarray(idx_d), np.asarray(idx_s))
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(sw), rtol=1e-5, atol=1e-5)
+    # skewed routing (all samples to one expert)
+    cond2 = np.tile(cond[:1], (64, 1))
+    np.testing.assert_allclose(
+        np.asarray(engine.simulate(cond2, key)),
+        np.asarray(engine.simulate_switch(cond2, key)),
+        rtol=1e-5, atol=1e-5,
+    )

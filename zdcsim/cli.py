@@ -56,13 +56,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.bench:
         from zdcsim.inference import FastSim
         from zdcsim.models import build_moe
-        from zdcsim.train.state import init_state
+        from zdcsim.train.state import init_state_jit
 
         modules = build_moe(cfg)
         if args.checkpoint_epoch is not None:
             engine = FastSim.from_checkpoint(cfg, cfg.train.dir_models, args.checkpoint_epoch)
         else:
-            state = init_state(modules, cfg, jax.random.PRNGKey(int(cfg.train.seed)))
+            state = init_state_jit(modules, cfg, jax.random.PRNGKey(int(cfg.train.seed)))
             engine = FastSim.from_state(modules, state)
         stats = engine.throughput()
         print(json.dumps(stats))
@@ -74,13 +74,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         from zdcsim.data import get_train_test_data
         from zdcsim.inference import FastSim
         from zdcsim.models import build_moe
-        from zdcsim.train.state import init_state
+        from zdcsim.train.state import init_state_jit
         from zdcsim.utils.io import append_experiment_dir_to_cfg
 
         append_experiment_dir_to_cfg(cfg)
         split = get_train_test_data(cfg)
         modules = build_moe(cfg)
-        state = init_state(modules, cfg, jax.random.PRNGKey(int(cfg.train.seed)))
+        state = init_state_jit(modules, cfg, jax.random.PRNGKey(int(cfg.train.seed)))
         engine = FastSim.from_state(modules, state, scaler_cond=split.scaler_cond)
         showers, experts = engine.simulate(
             split.y_test, jax.random.PRNGKey(0), return_experts=True

@@ -22,7 +22,7 @@ from zdcsim.data import get_train_test_data, make_loaders
 from zdcsim.models import build_moe
 from zdcsim.train.evaluate import build_evaluator
 from zdcsim.train.hooks import setup_callbacks
-from zdcsim.train.state import init_state
+from zdcsim.train.state import init_state_jit
 from zdcsim.train.step import build_train_step
 from zdcsim.utils.io import append_experiment_dir_to_cfg
 from zdcsim.utils.prng import fold_epoch_batch
@@ -66,7 +66,7 @@ def train(cfg, split=None, sharding=None, modules=None) -> List[Dict[str, Any]]:
         modules = build_moe(cfg)
     key = jax.random.PRNGKey(int(cfg.train.seed))
     key, k_init = jax.random.split(key)
-    state = init_state(modules, cfg, k_init, batch_size=2)
+    state = init_state_jit(modules, cfg, k_init)
 
     start_epoch = 0
     if cfg.train.checkpoint_experiment_dir is not None and cfg.train.epoch_to_load is not None:
