@@ -120,6 +120,21 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
     gen_mod, disc_mod, aux_mod, router_mod = (
         modules.generator, modules.discriminator, modules.aux_reg, modules.router,
     )
+    # Optional FLOP-reduced proton generator forward in training
+    # (zdcsim/models/proton_fast.py — mathematically identical, different fp
+    # reduction order). Off by default for strict module-path parity.
+    use_fast_gen = (
+        bool(cfg.train.get("fast_generator", False))
+        and modules.names.get("generator") == "Generator"
+    )
+
+    def gen_forward(params, stats, noise, cond, key):
+        if use_fast_gen:
+            from zdcsim.models.proton_fast import fast_generator_apply
+
+            out = jax.vmap(fast_generator_apply, in_axes=(0, None, None))(params, noise, cond)
+            return out, stats
+        return _apply(gen_mod, params, stats, noise, cond, True, rngs={"dropout": key})
 
     def train_step(
         state: MoETrainState, batch: Dict[str, jnp.ndarray], key: jax.Array, epoch: jnp.ndarray
@@ -151,9 +166,8 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
         real_e = jnp.broadcast_to(real[None], (E,) + real.shape)
 
         # ------ discriminator update (moe.py:506-527) ------
-        fake_1, _ = _apply(
-            gen_mod, state.gen.params, state.gen.stats, noise_1, cond, True,
-            rngs={"dropout": k_g1},
+        fake_1, _ = gen_forward(
+            state.gen.params, state.gen.stats, noise_1, cond, k_g1
         )  # [E, B, H, W, 1]; generator frozen for the D step
         fake_1 = jax.lax.stop_gradient(fake_1)
 
@@ -176,13 +190,8 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
         # ------ generator + aux update vs the UPDATED discriminator
         # (reference order: D steps before G inside the same batch) ------
         def g_loss_fn(g_params, a_params):
-            fake1, gst1 = _apply(
-                gen_mod, g_params, state.gen.stats, noise_1, cond, True,
-                rngs={"dropout": k_g1},
-            )
-            fake2, gst2 = _apply(
-                gen_mod, g_params, gst1, noise_2, cond, True, rngs={"dropout": k_g2}
-            )
+            fake1, gst1 = gen_forward(g_params, state.gen.stats, noise_1, cond, k_g1)
+            fake2, gst2 = gen_forward(g_params, gst1, noise_2, cond, k_g2)
             (s1, l1), dst1 = _apply(disc_mod, disc_new.params, disc_new.stats, fake1, cond, True)
             (s2, l2), dst2 = _apply(disc_mod, disc_new.params, dst1, fake2, cond, True)
 
