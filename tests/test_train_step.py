@@ -166,3 +166,31 @@ def test_training_reduces_disc_loss_on_toy_distribution():
         state, m = step(state, batch, jax.random.fold_in(key, 100 + i), jnp.asarray(0))
         assert np.isfinite(float(m["gen_loss"]))
         assert np.isfinite(float(m["disc_loss"]))
+
+
+def test_router_gan_term_gradient_flag():
+    """differentiable_gan_term=True routes gradient to the router through the
+    ST gates; False reproduces the reference's detached (constant) GAN term
+    (moe.py:176-207) — with all other router losses off, the router must not
+    move."""
+    common = {
+        "model.router.alb_strength": 0, "model.router.diff_strength": 0,
+        "model.router.util_strength": 0, "model.router.ed_strength": 0,
+        "model.router.gan_strength": 0.1,
+    }
+    batch = make_batch(jax.random.PRNGKey(1))
+
+    def router_moved(differentiable):
+        cfg = tiny_cfg(**common, **{"model.router.differentiable_gan_term": differentiable})
+        modules = build_tiny_moe(cfg, SHAPE)
+        state = init_state(modules, cfg, jax.random.PRNGKey(0))
+        step = build_train_step(modules, cfg)
+        new_state, _ = step(fresh(state), batch, jax.random.PRNGKey(2), jnp.asarray(0))
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state.router.params, new_state.router.params,
+        )
+        return max(jax.tree_util.tree_leaves(diffs)) > 0
+
+    assert router_moved(True)
+    assert not router_moved(False)

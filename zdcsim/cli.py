@@ -4,8 +4,9 @@ Parity with the reference launcher (``/root/reference/cli.py``):
 ``python cli.py --config <yaml> --override k=v ...`` loads the layered
 config, builds the data pipeline, and runs training. Additional
 subcommand-style flags cover the capabilities the reference keeps in
-notebooks/scripts: ``--prep`` (offline data prep), ``--bench``
-(fast-sim throughput), ``--simulate`` (batch inference to .npz).
+notebooks/scripts: ``--bench`` (fast-sim throughput), ``--simulate``
+(batch inference to .npz); offline data prep is
+``python -m zdcsim.data.prep``.
 """
 
 from __future__ import annotations
