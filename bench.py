@@ -31,15 +31,15 @@ def main() -> int:
     modules = build_moe(cfg)
     state = init_state_jit(modules, cfg, jax.random.PRNGKey(0))
 
-    # Primary path: on-device tiled-switch dispatch at B=4096/tile=128 —
-    # best measured config (23.4k showers/s vs 6.6k dense on v5e; see
+    # Primary path: on-device tiled-switch dispatch at B=4096/tile=64 —
+    # best measured config (24.5k showers/s vs 6.6k dense on v5e; see
     # zdcsim/inference/switch_dispatch.py). Falls back to dense decode at
     # B=1024 (the dense memory sweet spot: 8192 OOMs 16 GB HBM).
     try:
         engine = FastSim.from_state(
             modules, state, use_ema=False, batch_size=4096, precision="bf16"
         )
-        engine._build_switch(tile=128)
+        engine._build_switch(tile=64)
         stats = engine.throughput_switch(n_batches=12, warmup=3)
     except Exception as e:  # noqa: BLE001 — bench must always print a number
         print(f"switch-dispatch bench failed ({type(e).__name__}); dense fallback",
