@@ -49,3 +49,19 @@ def test_fastsim_uses_fast_path_for_proton():
     a = engine_fast.simulate(cond, jax.random.PRNGKey(1))
     b = engine_ref.simulate(cond, jax.random.PRNGKey(1))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
+def test_fused_row_resize_conv_equivalence():
+    from zdcsim.models.layers import resize_nearest
+    from zdcsim.models.proton_fast import fused_row_resize_conv4
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 35, 19, 8))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (4, 4, 8, 5))
+    b = jax.random.normal(jax.random.fold_in(key, 2), (5,))
+    naive = jax.lax.conv_general_dilated(
+        resize_nearest(x, (56, 30)), k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    fused = fused_row_resize_conv4(x, k, b, 56, 30)
+    np.testing.assert_allclose(np.asarray(naive), np.asarray(fused), rtol=1e-4, atol=1e-4)

@@ -30,6 +30,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--bench", action="store_true", help="run the fast-sim throughput benchmark")
     p.add_argument("--simulate", type=str, default=None, metavar="OUT.npz",
                    help="run fast-sim inference on the test split and save showers")
+    p.add_argument("--eval", action="store_true",
+                   help="run the WS evaluation on the test split (optionally from "
+                        "--checkpoint-epoch) and print the metrics as JSON")
     p.add_argument("--checkpoint-epoch", type=int, default=None,
                    help="with --bench/--simulate: load this checkpoint epoch")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -67,6 +70,32 @@ def main(argv: Optional[List[str]] = None) -> int:
             engine = FastSim.from_state(modules, state)
         stats = engine.throughput()
         print(json.dumps(stats))
+        return 0
+
+    if args.eval:
+        from zdcsim.data import get_train_test_data, make_loaders
+        from zdcsim.models import build_moe
+        from zdcsim.train.evaluate import build_evaluator
+        from zdcsim.train.state import init_state_jit
+        from zdcsim.utils.io import append_experiment_dir_to_cfg
+
+        append_experiment_dir_to_cfg(cfg)
+        split = get_train_test_data(cfg)
+        modules = build_moe(cfg)
+        state = init_state_jit(modules, cfg, jax.random.PRNGKey(int(cfg.train.seed)))
+        if args.checkpoint_epoch is not None:
+            from zdcsim.train.checkpoint import restore_checkpoint
+
+            state = restore_checkpoint(cfg.train.dir_models, args.checkpoint_epoch, state)
+        _, test_loader = make_loaders(cfg, split)
+        evaluator = build_evaluator(modules, cfg)
+        metrics = evaluator(
+            state, test_loader.arrays, epoch=args.checkpoint_epoch or 0,
+            key=jax.random.PRNGKey(0),
+        )
+        print(json.dumps({
+            k: (v.tolist() if hasattr(v, "tolist") else v) for k, v in metrics.items()
+        }))
         return 0
 
     if args.simulate is not None:

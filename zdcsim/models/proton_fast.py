@@ -81,6 +81,92 @@ def fused_upsample2_conv4(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray
     return out + bias
 
 
+def _row_phase_plan(n_in: int, n_out: int, ksize: int, pad: int):
+    """Phase descriptors for folding a nearest row-resize into a conv.
+
+    For ``resize_nearest`` rows ``n_in -> n_out`` followed by a ``ksize``-tap
+    row conv with ``pad``: output rows repeat with period ``q`` (``n_in/n_out
+    = p/q`` reduced), and within a phase the conv's taps hit a fixed set of
+    *distinct* source rows. Returns ``(q, p, plans)`` with one plan per
+    phase: ``(d0, groups)`` where ``groups[l]`` lists the original kernel
+    tap indices merged into distinct source row ``d0 + l``.
+    """
+    import math
+
+    import numpy as np
+
+    g = math.gcd(n_in, n_out)
+    p_num, q = n_in // g, n_out // g
+    src = np.floor((np.arange(n_out) + 0.5) * n_in / n_out).astype(int)
+    n_conv_out = n_out + 2 * pad - ksize + 1
+    plans = []
+    for phase in range(q):
+        # representative interior output row of this phase
+        i = phase if phase + ksize - pad <= n_out else phase  # any rep works
+        rel = []
+        for a in range(ksize):
+            r = i - pad + a
+            rel.append(src[r] - p_num * (i // q) if 0 <= r < n_out else src[0] - 1)
+        # group consecutive equal taps
+        d0 = rel[0]
+        groups, cur, cur_rows = [], [0], rel[0]
+        for a in range(1, ksize):
+            if rel[a] == cur_rows:
+                cur.append(a)
+            else:
+                groups.append((cur_rows, cur))
+                cur, cur_rows = [a], rel[a]
+        groups.append((cur_rows, cur))
+        n_phase = (n_conv_out - phase + q - 1) // q
+        plans.append((d0, groups, n_phase))
+    return q, p_num, plans
+
+
+def fused_row_resize_conv4(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, n_resized_rows: int, n_cols: int
+) -> jnp.ndarray:
+    """``conv4x4(pad1, resize_nearest(x, (n_resized_rows, n_cols)))`` with the
+    ROW duplication folded into per-phase strided convs (columns still resize
+    normally). For the proton generator's 35x19 -> 56x30 resize + Conv_1 this
+    cuts the row taps from 4 to ~2.9 on average — exact same output.
+    """
+    import numpy as np
+
+    b, h_in, w_in, cin = x.shape
+    # columns: plain nearest resize (gather)
+    col_map = np.floor((np.arange(n_cols) + 0.5) * w_in / n_cols).astype(int)
+    xc = x[:, :, col_map, :]  # [B, h_in, n_cols, cin]
+
+    q, p_num, plans = _row_phase_plan(h_in, n_resized_rows, 4, 1)
+    n_out_rows = n_resized_rows - 1  # 4-tap, pad 1: n + 2 - 4 + 1
+    w = kernel  # [4, 4, cin, cout]
+
+    phase_outs = []
+    max_n = max(n for _, _, n in plans)
+    for d0, groups, n_phase in plans:
+        k_p = jnp.stack([sum(w[a] for a in taps) for _, taps in groups])  # [L,4,cin,cout]
+        L = k_p.shape[0]
+        pad_t = max(-d0, 0)
+        start = max(d0, 0)
+        avail = h_in - start
+        span = p_num * (n_phase - 1) + L
+        pad_b = max(0, span - pad_t - avail)
+        xp = xc[:, start:, :, :]
+        y = jax.lax.conv_general_dilated(
+            jnp.pad(xp, ((0, 0), (pad_t, pad_b), (0, 0), (0, 0))),
+            k_p, window_strides=(p_num, 1), padding=((0, 0), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype,
+        )[:, :n_phase]
+        if n_phase < max_n:  # pad short phases for the interleave reshape
+            y = jnp.pad(y, ((0, 0), (0, max_n - n_phase), (0, 0), (0, 0)))
+        phase_outs.append(y)
+
+    stacked = jnp.stack(phase_outs, axis=2)  # [B, max_n, q, W', cout]
+    out = stacked.reshape(b, max_n * q, stacked.shape[3], stacked.shape[4])
+    return out[:, :n_out_rows] + bias
+
+
 def _leaky(x):
     return jax.nn.leaky_relu(x, negative_slope=0.1)
 
@@ -118,9 +204,9 @@ def fast_generator_apply(params: Any, noise: jnp.ndarray, cond: jnp.ndarray) -> 
     x = _group_norm(x, p["GroupNorm2d_0"]["GroupNorm_0"], 256)
     x = _leaky(x)
 
-    x = resize_nearest(x, (56, 30))
-    x = _conv(x, p["Conv_1"]["kernel"], ((1, 1), (1, 1)))
-    x = x + p["Conv_1"]["bias"]
+    # resize to 56x30 + Conv_1 4x4 pad1 -> row-duplication folded into
+    # per-phase strided convs (55x29x128)
+    x = fused_row_resize_conv4(x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30)
     x = _group_norm(x, p["GroupNorm2d_1"]["GroupNorm_0"], 128)
     x = _leaky(x)
 
