@@ -151,3 +151,16 @@ def test_fastsim_switch_dispatch_matches_dense(setup):
         np.asarray(engine.simulate_switch(cond2, key)),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_checkpoint_saver_threshold(setup, tmp_path):
+    from zdcsim.train.hooks import CheckpointSaver
+
+    cfg, modules, state = setup
+    saver = CheckpointSaver(str(tmp_path / "m"), ws_threshold=3.0)
+    saver.on_epoch_end(0, {"ws_mean": 5.0}, state)   # above threshold: no save
+    assert saver.saved_epochs == []
+    saver.on_epoch_end(1, {"ws_mean": 2.5}, state)   # below: saves
+    assert saver.saved_epochs == [1]
+    saver.on_epoch_end(2, {}, state)                  # no ws metric: no save
+    assert saver.saved_epochs == [1]
