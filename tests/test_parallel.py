@@ -108,3 +108,21 @@ def test_data_parallel_only_mesh(cpu_devices):
     }
     _, metrics = step(state, batch, jax.random.PRNGKey(2), jnp.asarray(0))
     assert np.isfinite(float(metrics["disc_loss"]))
+
+
+def test_train_loop_multi_device(cpu_devices, tmp_path):
+    """Full train() on the 8-device virtual mesh (auto mesh from cfg.parallel)."""
+    from zdcsim.train.loop import train
+
+    cfg = load_config(overrides=[
+        "dataset.synthetic=true", "dataset.synthetic_n_samples=128",
+        "dataset.input_image_shape=[8, 6]", "train.batch_size=32",
+        "train.epochs=2", "train.eval_every=1", "model.n_experts=4",
+        "parallel.n_devices=8", "parallel.expert_parallel=2",
+        f"train.save_experiments_dir={tmp_path}/",
+    ])
+    modules = build_tiny_moe(cfg, SHAPE)
+    history = train(cfg, modules=modules)
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["gen_loss"])
+    assert "ws_mean" in history[-1]

@@ -68,6 +68,20 @@ def train(cfg, split=None, sharding=None, modules=None) -> List[Dict[str, Any]]:
     key, k_init = jax.random.split(key)
     state = init_state_jit(modules, cfg, k_init)
 
+    # Multi-device: build the (data, expert) mesh from cfg.parallel and
+    # compile the step as one GSPMD program (new capability vs the
+    # single-device reference, SURVEY.md §2.7).
+    mesh = None
+    n_dev = cfg.parallel.get("n_devices") or len(jax.devices())
+    if n_dev > 1 and sharding is None:
+        from zdcsim.parallel.mesh import batch_sharding, make_mesh, shard_state
+
+        ep = int(cfg.parallel.get("expert_parallel", 1))
+        mesh = make_mesh(n_devices=int(n_dev), expert_parallel=ep)
+        state = shard_state(mesh, state, modules.n_experts)
+        sharding = batch_sharding(mesh)
+        log.info("Mesh: %s", dict(zip(mesh.axis_names, mesh.devices.shape)))
+
     start_epoch = 0
     if cfg.train.checkpoint_experiment_dir is not None and cfg.train.epoch_to_load is not None:
         from zdcsim.train.checkpoint import restore_checkpoint
@@ -79,7 +93,7 @@ def train(cfg, split=None, sharding=None, modules=None) -> List[Dict[str, Any]]:
         log.info("Resumed from %s epoch %d", ckpt_models, start_epoch)
 
     train_loader, test_loader = make_loaders(cfg, split, sharding=sharding)
-    train_step = build_train_step(modules, cfg)
+    train_step = build_train_step(modules, cfg, mesh=mesh, example_state=state if mesh else None)
     evaluator = build_evaluator(modules, cfg)
     callbacks = setup_callbacks(cfg, split.dir_models)
     eval_every = int(cfg.train.get("eval_every", 1))

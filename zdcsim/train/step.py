@@ -352,8 +352,12 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
     ss = state_shardings(mesh, example_state, E)
     bs = {k: batch_sharding(mesh) for k in ("real", "cond", "std", "intensity", "positions")}
     rep = replicated(mesh)
+    # Pin the OUTPUT state to the same shardings — otherwise the partitioner
+    # may choose a different layout for updated leaves and the next call's
+    # in_shardings reject the fed-back state.
     return jax.jit(
         train_step,
         in_shardings=(ss, bs, rep, rep),
+        out_shardings=(ss, None),
         donate_argnums=(0,),
     )
