@@ -77,6 +77,15 @@ def train(cfg, split=None, sharding=None, modules=None) -> List[Dict[str, Any]]:
         from zdcsim.parallel.mesh import batch_sharding, make_mesh, shard_state
 
         ep = int(cfg.parallel.get("expert_parallel", 1))
+        if modules.n_experts % max(ep, 1) != 0:
+            raise ValueError(
+                f"parallel.expert_parallel={ep} must divide model.n_experts={modules.n_experts}"
+            )
+        if int(cfg.train.batch_size) % (int(n_dev) // max(ep, 1)) != 0:
+            raise ValueError(
+                f"train.batch_size={cfg.train.batch_size} must be divisible by the "
+                f"data-parallel degree {int(n_dev) // max(ep, 1)}"
+            )
         mesh = make_mesh(n_devices=int(n_dev), expert_parallel=ep)
         state = shard_state(mesh, state, modules.n_experts)
         sharding = batch_sharding(mesh)

@@ -73,7 +73,7 @@ from zdcsim.train.state import (
 # single-expert functions.
 _hinge_d_e = jax.vmap(hinge_discriminator_loss, in_axes=(0, 0, 0))
 _hinge_g_e = jax.vmap(hinge_generator_loss, in_axes=(0, 0))
-_sdi_e = jax.vmap(sdi_gan_regularization, in_axes=(0, 0, None, None, None, None, 0))
+_sdi_e = jax.vmap(sdi_gan_regularization, in_axes=(0, 0, None, None, None, None, 0, None))
 _intensity_e = jax.vmap(intensity_regularization, in_axes=(0, None, None, 0))
 _log_cosh_e = jax.vmap(log_cosh_loss, in_axes=(None, 0, 0))
 
@@ -114,6 +114,10 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
     alpha = int(r.alpha)
     min_weight = float(r.min_weight)
     differentiable_gan = bool(r.get("differentiable_gan_term", True))
+    # The reference's SDI term accidentally broadcasts [B,1]/[B] into [B,B]
+    # (moe.py:583-586); zdcsim defaults to the intended per-sample pairing and
+    # exposes the quirk for bit-parity studies (ops/losses.py docstring).
+    sdi_quirk = bool(mc.generator.get("sdi_pairwise_quirk", False))
     ema_decay = float(cfg.train.get("ema_decay", 0.99))
     txs = make_optimizers(cfg)
 
@@ -196,7 +200,7 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
             (s2, l2), dst2 = _apply(disc_mod, disc_new.params, dst1, fake2, cond, True)
 
             hinge_e = _hinge_g_e(s1[..., 0], masks)  # [E]
-            div_e = _sdi_e(l1, l2, noise_1, noise_2, std, di_strength, masks)  # [E]
+            div_e = _sdi_e(l1, l2, noise_1, noise_2, std, di_strength, masks, sdi_quirk)  # [E]
             int_loss_e, sums1, std_int_e, mean_int_e = _intensity_e(
                 fake1, intensity, in_strength, masks
             )  # [E], [E,B], [E], [E]
