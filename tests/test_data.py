@@ -2,7 +2,6 @@
 transform, loaders, native kernels."""
 
 import numpy as np
-import pytest
 
 from zdcsim.config import load_config
 from zdcsim.data.prep import (
@@ -17,8 +16,8 @@ from zdcsim.data.prep import (
 )
 from zdcsim.data.scalers import MinMaxScaler, StandardScaler
 from zdcsim.data.synthetic import make_synthetic_dataset
-from zdcsim.data.dataset import get_train_test_data, transform_data_for_training, get_dataset
-from zdcsim.data.loader import DeviceLoader, make_loaders, split_to_arrays
+from zdcsim.data.dataset import get_dataset, get_train_test_data
+from zdcsim.data.loader import DeviceLoader, make_loaders
 
 
 def synth_cfg(**over):
@@ -224,8 +223,6 @@ def test_stratified_batch_order(rng):
 
 def test_prep_pickle_roundtrip(tmp_path, rng):
     """prepare_dataset -> reference-format pickles -> get_dataset."""
-    import pandas as pd
-
     from zdcsim.data.prep import prepare_dataset, save_prepared
     from zdcsim.data.synthetic import _render_showers, _sample_kinematics
 

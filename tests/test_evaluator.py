@@ -1,7 +1,5 @@
 """Evaluator, inference engine, and checkpoint tests on tiny models."""
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -2,7 +2,6 @@
 data) must improve the Wasserstein fidelity metric — the SURVEY §4 synthetic
 integration test."""
 
-import jax
 import numpy as np
 import pytest
 

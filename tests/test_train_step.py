@@ -11,7 +11,7 @@ import pytest
 
 from zdcsim.config import load_config
 from zdcsim.models.testing import build_tiny_moe
-from zdcsim.train.state import init_state, masked_expert_update, make_optimizers
+from zdcsim.train.state import init_state, masked_expert_update
 from zdcsim.train.step import build_train_step
 
 B = 16

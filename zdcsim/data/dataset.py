@@ -14,9 +14,8 @@ boundary); the result is a :class:`SplitArrays` of static-shaped arrays that
 from __future__ import annotations
 
 import logging
-import os
-from dataclasses import dataclass, field
-from typing import Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 import numpy as np
 

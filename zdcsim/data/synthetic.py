@@ -15,7 +15,7 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-from zdcsim.data.prep import COND_COLUMNS, PreparedDataset, prepare_dataset
+from zdcsim.data.prep import PreparedDataset, prepare_dataset
 
 
 def _sample_kinematics(rng: np.random.Generator, n_unique: int, zdc_type: str) -> Dict[str, np.ndarray]:

@@ -7,7 +7,7 @@ logs to wandb). All functions use the non-interactive Agg backend.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import matplotlib
 

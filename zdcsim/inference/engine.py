@@ -21,7 +21,7 @@ Throughput target (BASELINE.json north star): >= 50k showers/sec/chip.
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

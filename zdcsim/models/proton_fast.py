@@ -26,7 +26,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from zdcsim.models.layers import group_norm_groups, resize_nearest
+from zdcsim.models.layers import group_norm_groups, resize_nearest  # noqa: F401 (resize kept for API users)
 
 
 def _conv(x, k, pad):

@@ -38,8 +38,7 @@ Documented divergences from the reference:
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
