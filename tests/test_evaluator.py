@@ -162,3 +162,23 @@ def test_checkpoint_saver_threshold(setup, tmp_path):
     assert saver.saved_epochs == [1]
     saver.on_epoch_end(2, {}, state)                  # no ws metric: no save
     assert saver.saved_epochs == [1]
+
+
+def test_evaluator_router_classification(setup):
+    cfg, modules, state = setup
+    n = 64
+    test_arrays = {
+        "real": jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (n, *SHAPE, 1))),
+        "cond": jax.random.normal(jax.random.PRNGKey(2), (n, 9)),
+    }
+    evaluator = build_evaluator(modules, cfg, chunk_size=64)
+    # labels = the router's own assignments -> perfect accuracy
+    _, logits = modules.router.apply({"params": state.router.params}, test_arrays["cond"])
+    labels = np.asarray(jnp.argmax(logits, axis=-1))
+    m = evaluator(state, test_arrays, epoch=0, key=jax.random.PRNGKey(3),
+                  expert_labels=labels)
+    assert m["router_accuracy"] == 1.0
+    # shuffled labels -> below perfect
+    m2 = evaluator(state, test_arrays, epoch=0, key=jax.random.PRNGKey(3),
+                   expert_labels=np.roll(labels, 7))
+    assert m2["router_accuracy"] < 1.0

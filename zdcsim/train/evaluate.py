@@ -84,7 +84,17 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int = 4096):
 
         return overall, jax.vmap(per_expert)(e_masks)
 
-    def evaluate(state, test_arrays: Dict[str, jnp.ndarray], epoch: int, key: jax.Array):
+    def evaluate(
+        state,
+        test_arrays: Dict[str, jnp.ndarray],
+        epoch: int,
+        key: jax.Array,
+        expert_labels=None,
+    ):
+        """``expert_labels``: optional [N] precomputed expert assignments —
+        when given (the proton pickles carry ``expert_number``), the router's
+        argmax routing is scored against them (reference ``evaluate_router``,
+        train/utils.py:299-310)."""
         cond = test_arrays["cond"]
         real = test_arrays["real"]
         n = (cond.shape[0] // chunk_size) * chunk_size or cond.shape[0]
@@ -129,6 +139,11 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int = 4096):
             "eval_expert_counts": counts,
             "epoch": epoch,
         }
+        if expert_labels is not None and len(np.unique(np.asarray(expert_labels)[:n])) > 1:
+            from zdcsim.evals.router_metrics import router_classification_metrics
+
+            cls = router_classification_metrics(np.asarray(idx), np.asarray(expert_labels)[:n], E)
+            metrics.update({f"router_{k}": v for k, v in cls.items()})
         return metrics
 
     return evaluate

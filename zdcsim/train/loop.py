@@ -134,12 +134,18 @@ def train(cfg, split=None, sharding=None, modules=None) -> List[Dict[str, Any]]:
 
             if eval_every and (epoch % eval_every == 0 or epoch == epochs - 1):
                 eval_key = jax.random.fold_in(key, 10_000_000 + epoch)
-                ws = evaluator(state, test_loader.arrays, epoch, eval_key)
+                ws = evaluator(
+                    state, test_loader.arrays, epoch, eval_key,
+                    expert_labels=split.expert_number_test,
+                )
                 epoch_metrics["ws_mean"] = ws["ws_mean"]
                 epoch_metrics["ws_std"] = ws["ws_std"]
                 for i in range(modules.n_experts):
                     epoch_metrics[f"ws_mean_{i}"] = float(ws["ws_mean_exp"][i])
                     epoch_metrics[f"ws_std_{i}"] = float(ws["ws_std_exp"][i])
+                for k in ("router_accuracy", "router_precision", "router_recall", "router_f1"):
+                    if k in ws:
+                        epoch_metrics[k] = ws[k]
                 if plot_images:
                     from zdcsim.train.eval_plots import generate_eval_figures, save_figures
 
