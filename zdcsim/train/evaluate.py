@@ -33,10 +33,14 @@ from zdcsim.ops.channels import sum_channels
 from zdcsim.ops.ws import masked_wasserstein_1d, wasserstein_per_channel
 
 
-def build_evaluator(modules: MoEModules, cfg, chunk_size: int = 4096):
+def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
     """Returns ``evaluate(state, test_arrays, epoch, key) -> metrics dict``."""
     E = modules.n_experts
     noise_dim = modules.noise_dim
+    if chunk_size is None:
+        # All-expert f32 generation peaks ~E x chunk x 36x20x512 floats; 1024
+        # keeps eval under ~8 GB on a 16 GB chip (4096 OOMed in practice).
+        chunk_size = int(cfg.get("eval", {}).get("chunk_size", 1024)) if "eval" in cfg else 1024
     sample_routing = bool(cfg.get("eval", {}).get("sample_routing", False)) if "eval" in cfg else False
 
     router_mod, gen_mod = modules.router, modules.generator
