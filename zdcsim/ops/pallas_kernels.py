@@ -9,24 +9,30 @@ Two fused epilogues for the serving/eval pipeline (reference equivalents:
   ``[B, 5]`` in ONE pass over HBM. The routed gather is done with
   scalar-prefetch block indexing (the expert id picks the DMA'd block), so
   the ``[E, B, H, W]`` tensor is read only at the routed rows — 1/E of the
-  naive traffic — and the expm1 + mask-basis contraction happen in VMEM
+  naive traffic — and the exp-1 + channel-mask reductions happen in VMEM
   without materializing the linear-space image.
 - :func:`expm1_channel_sums`: same epilogue for already-routed images
   ``[B, H, W]`` (the evaluator's real-image path).
 
-Both kernels run in interpreter mode on CPU (tests) and compiled on TPU.
-``sum_channels`` in :mod:`zdcsim.ops.channels` remains the reference
-implementation; these are drop-in accelerations validated against it.
+Mosaic notes (learned on real hardware): no ``expm1``/``scatter``
+primitives (use ``exp(x)-1`` and mask reductions), no lane-crossing
+reshapes (keep images in their native [H, W] tiles and contract against
+[5, H, W] channel masks), scalar results go to SMEM blocks which are exempt
+from the (8, 128) VMEM tiling rule. Both kernels run in interpreter mode on
+CPU (tests) and compiled on real TPU (validated). ``sum_channels`` in
+:mod:`zdcsim.ops.channels` remains the reference implementation; these are
+drop-in accelerations tested against it.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from zdcsim.ops.channels import channel_basis
+from zdcsim.ops.channels import get_channel_masks
 
 _N_CHANNELS = 5
 
@@ -38,14 +44,19 @@ def _is_tpu() -> bool:
         return False
 
 
-def _epilogue_kernel(idx_ref, img_ref, basis_ref, out_ref):
-    """One batch-row: expm1 then contract pixels against the channel basis."""
-    img = img_ref[0, 0].astype(jnp.float32)  # [H, W]
-    lin = jnp.expm1(img)
-    h, w = lin.shape
-    out_ref[0, :] = jnp.dot(
-        lin.reshape(1, h * w), basis_ref[:, :], preferred_element_type=jnp.float32
-    )[0]
+def _masks_array(shape) -> np.ndarray:
+    return np.stack(get_channel_masks(tuple(shape)), axis=0)  # [5, H, W]
+
+
+def _epilogue(img, masks_ref, out_ref):
+    lin = jnp.exp(img.astype(jnp.float32)) - 1.0
+    for c in range(_N_CHANNELS):
+        out_ref[0, 0, c] = jnp.sum(lin * masks_ref[c])
+
+
+def _routed_kernel(idx_ref, img_ref, masks_ref, out_ref):
+    del idx_ref  # consumed by the index_map (scalar prefetch)
+    _epilogue(img_ref[0, 0], masks_ref, out_ref)
 
 
 def routed_expm1_channel_sums(
@@ -59,7 +70,7 @@ def routed_expm1_channel_sums(
     if interpret is None:
         interpret = not _is_tpu()
     e, b, h, w = imgs.shape
-    basis = jnp.asarray(channel_basis((h, w)), jnp.float32)  # [H*W, 5]
+    masks = jnp.asarray(_masks_array((h, w)), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -70,27 +81,23 @@ def routed_expm1_channel_sums(
                 index_map=lambda i, idx_ref: (idx_ref[i], i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((h * w, _N_CHANNELS), lambda i, idx_ref: (0, 0),
+            pl.BlockSpec((_N_CHANNELS, h, w), lambda i, idx_ref: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _N_CHANNELS), lambda i, idx_ref: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 1, _N_CHANNELS), lambda i, idx_ref: (i, 0, 0),
+                               memory_space=pltpu.SMEM),
     )
-    return pl.pallas_call(
-        _epilogue_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, _N_CHANNELS), jnp.float32),
+    out = pl.pallas_call(
+        _routed_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 1, _N_CHANNELS), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(idx.astype(jnp.int32), imgs, basis)
+    )(idx.astype(jnp.int32), imgs, masks)
+    return out[:, 0, :]
 
 
-def _plain_epilogue_kernel(img_ref, basis_ref, out_ref):
-    img = img_ref[0].astype(jnp.float32)
-    lin = jnp.expm1(img)
-    h, w = lin.shape
-    out_ref[0, :] = jnp.dot(
-        lin.reshape(1, h * w), basis_ref[:, :], preferred_element_type=jnp.float32
-    )[0]
+def _plain_kernel(img_ref, masks_ref, out_ref):
+    _epilogue(img_ref[0], masks_ref, out_ref)
 
 
 def expm1_channel_sums(images: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
@@ -98,15 +105,16 @@ def expm1_channel_sums(images: jnp.ndarray, interpret: bool | None = None) -> jn
     if interpret is None:
         interpret = not _is_tpu()
     b, h, w = images.shape
-    basis = jnp.asarray(channel_basis((h, w)), jnp.float32)
-    return pl.pallas_call(
-        _plain_epilogue_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, _N_CHANNELS), jnp.float32),
+    masks = jnp.asarray(_masks_array((h, w)), jnp.float32)
+    out = pl.pallas_call(
+        _plain_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 1, _N_CHANNELS), jnp.float32),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h * w, _N_CHANNELS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N_CHANNELS, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _N_CHANNELS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 1, _N_CHANNELS), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         interpret=interpret,
-    )(images, basis)
+    )(images, masks)
+    return out[:, 0, :]
