@@ -139,3 +139,30 @@ def build_moe(cfg) -> MoEModules:
             "router": router_cls.__name__,
         },
     )
+
+
+def count_parameters(params) -> int:
+    """Total parameter count of a pytree (reference ``count_model_parameters``,
+    train/training_setup.py:7-10)."""
+    import jax
+
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+def model_info(modules: MoEModules, state) -> str:
+    """Human-readable component/parameter summary (reference
+    ``print_model_info``, training_setup.py:44-67). Stacked components report
+    E x per-expert counts."""
+    e = modules.n_experts
+    lines = [f"MoE system: {e} expert(s), noise_dim={modules.noise_dim}, "
+             f"cond_dim={modules.cond_dim}, image={modules.image_shape}"]
+    for name, comp in (("generator", state.gen), ("discriminator", state.disc),
+                       ("aux_reg", state.aux)):
+        total = count_parameters(comp.params)
+        lines.append(
+            f"  {name:14s} {modules.names.get(name, '?'):28s} "
+            f"{total:>12,d} params ({total // e:,d}/expert)"
+        )
+    r = count_parameters(state.router.params)
+    lines.append(f"  {'router':14s} {modules.names.get('router', '?'):28s} {r:>12,d} params")
+    return "\n".join(lines)

@@ -107,6 +107,9 @@ def train(cfg, split=None, sharding=None, modules=None) -> List[Dict[str, Any]]:
     callbacks = setup_callbacks(cfg, split.dir_models)
     eval_every = int(cfg.train.get("eval_every", 1))
 
+    from zdcsim.models import model_info
+
+    log.info("\n%s", model_info(modules, state))
     callbacks.on_train_start(cfg, state)
     history: List[Dict[str, Any]] = []
     epochs = int(cfg.train.epochs)
