@@ -194,3 +194,23 @@ def test_router_gan_term_gradient_flag():
 
     assert router_moved(True)
     assert not router_moved(False)
+
+
+def test_bf16_training_step_runs():
+    cfg = tiny_cfg(**{"train.precision": "bf16"})
+    modules = build_tiny_moe(cfg, SHAPE)
+    state = init_state(modules, cfg, jax.random.PRNGKey(0))
+    step = build_train_step(modules, cfg)
+    batch = make_batch(jax.random.PRNGKey(1))
+    new_state, m = step(fresh(state), batch, jax.random.PRNGKey(2), jnp.asarray(0))
+    assert np.isfinite(float(m["gen_loss"]))
+    # master params stay f32
+    leaf = jax.tree_util.tree_leaves(new_state.gen.params)[0]
+    assert leaf.dtype == jnp.float32
+    # close to the f32 step on the same batch (bf16 rounding tolerance)
+    cfg32 = tiny_cfg()
+    modules32 = build_tiny_moe(cfg32, SHAPE)
+    state32 = init_state(modules32, cfg32, jax.random.PRNGKey(0))
+    step32 = build_train_step(modules32, cfg32)
+    _, m32 = step32(state32, batch, jax.random.PRNGKey(2), jnp.asarray(0))
+    np.testing.assert_allclose(float(m["disc_loss"]), float(m32["disc_loss"]), rtol=0.1, atol=0.05)

@@ -131,13 +131,45 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
         and modules.names.get("generator") == "Generator"
     )
 
+    # Mixed precision: bf16 compute with f32 master params/optimizer.
+    # Parameters are cast at use (grad-of-cast upcasts automatically); loss
+    # reductions stay f32. Opt-in via train.precision: bf16.
+    use_bf16 = str(cfg.train.get("precision", "f32")) == "bf16"
+
+    def _c16(tree):
+        if not use_bf16:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            tree,
+        )
+
     def gen_forward(params, stats, noise, cond, key):
         if use_fast_gen:
             from zdcsim.models.proton_fast import fast_generator_apply
 
-            out = jax.vmap(fast_generator_apply, in_axes=(0, None, None))(params, noise, cond)
-            return out, stats
-        return _apply(gen_mod, params, stats, noise, cond, True, rngs={"dropout": key})
+            out = jax.vmap(fast_generator_apply, in_axes=(0, None, None))(
+                _c16(params), _c16(noise), _c16(cond)
+            )
+            return out.astype(jnp.float32), stats
+        out, new_stats = _apply(
+            gen_mod, _c16(params), stats, _c16(noise), _c16(cond), True,
+            rngs={"dropout": key},
+        )
+        return out.astype(jnp.float32), new_stats
+
+    def disc_forward(params, stats, img, cond):
+        (score, latent), new_stats = _apply(
+            disc_mod, _c16(params), stats, _c16(img), _c16(cond), True
+        )
+        return (score.astype(jnp.float32), latent.astype(jnp.float32)), new_stats
+
+    def aux_forward(params, stats, img, key):
+        out, new_stats = _apply(
+            aux_mod, _c16(params), stats, _c16(img), True, rngs={"dropout": key}
+        )
+        return out.astype(jnp.float32), new_stats
 
     def train_step(
         state: MoETrainState, batch: Dict[str, jnp.ndarray], key: jax.Array, epoch: jnp.ndarray
@@ -175,10 +207,8 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
         fake_1 = jax.lax.stop_gradient(fake_1)
 
         def d_loss_fn(d_params):
-            (real_scores, _), st1 = _apply(
-                disc_mod, d_params, state.disc.stats, real_e, cond, True
-            )
-            (fake_scores, _), st2 = _apply(disc_mod, d_params, st1, fake_1, cond, True)
+            (real_scores, _), st1 = disc_forward(d_params, state.disc.stats, real_e, cond)
+            (fake_scores, _), st2 = disc_forward(d_params, st1, fake_1, cond)
             d_loss_e = _hinge_d_e(real_scores[..., 0], fake_scores[..., 0], masks)  # [E]
             d_weighted = d_loss_e * w * active_f
             return jnp.sum(d_weighted), (st2, d_weighted)
@@ -195,17 +225,15 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
         def g_loss_fn(g_params, a_params):
             fake1, gst1 = gen_forward(g_params, state.gen.stats, noise_1, cond, k_g1)
             fake2, gst2 = gen_forward(g_params, gst1, noise_2, cond, k_g2)
-            (s1, l1), dst1 = _apply(disc_mod, disc_new.params, disc_new.stats, fake1, cond, True)
-            (s2, l2), dst2 = _apply(disc_mod, disc_new.params, dst1, fake2, cond, True)
+            (s1, l1), dst1 = disc_forward(disc_new.params, disc_new.stats, fake1, cond)
+            (s2, l2), dst2 = disc_forward(disc_new.params, dst1, fake2, cond)
 
             hinge_e = _hinge_g_e(s1[..., 0], masks)  # [E]
             div_e = _sdi_e(l1, l2, noise_1, noise_2, std, di_strength, masks, sdi_quirk)  # [E]
             int_loss_e, sums1, std_int_e, mean_int_e = _intensity_e(
                 fake1, intensity, in_strength, masks
             )  # [E], [E,B], [E], [E]
-            aux_pred, ast = _apply(
-                aux_mod, a_params, state.aux.stats, fake1, True, rngs={"dropout": k_aux}
-            )  # [E, B, 2]
+            aux_pred, ast = aux_forward(a_params, state.aux.stats, fake1, k_aux)  # [E, B, 2]
             aux_loss_e = _log_cosh_e(positions, aux_pred, masks) * aux_strength  # [E]
 
             gen_total_e = (hinge_e + div_e + int_loss_e + aux_loss_e) * w * active_f
