@@ -36,6 +36,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--checkpoint-epoch", type=int, default=None,
                    help="with --bench/--simulate: load this checkpoint epoch")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="raise on NaN/Inf in any jitted computation (the analog of the "
+                        "reference's torch.autograd.set_detect_anomaly, cli.py:27-34)")
     return p.parse_args(argv)
 
 
@@ -54,6 +57,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     cfg = load_config(args.config, args.override)
 
     import jax
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     log.info("JAX devices: %s", jax.devices())
 
