@@ -243,3 +243,52 @@ def test_prep_pickle_roundtrip(tmp_path, rng):
     assert loaded.n_events == ds.n_events
     np.testing.assert_allclose(loaded.images, ds.images, rtol=1e-6)
     np.testing.assert_allclose(loaded.positions, ds.positions, rtol=1e-6)
+
+
+def test_prep_cli_main(tmp_path, rng):
+    """The offline-prep CLI end to end (notebook-equivalent pipeline)."""
+    import pandas as pd
+
+    from zdcsim.data import prep as prep_mod
+    from zdcsim.data.synthetic import _render_showers, _sample_kinematics
+
+    kin = _sample_kinematics(np.random.default_rng(0), 24, "proton")
+    raw = _render_showers(np.random.default_rng(1), kin, (8, 6))
+    raw_images_p = str(tmp_path / "raw_images.pkl")
+    raw_cond_p = str(tmp_path / "raw_cond.pkl")
+    pd.to_pickle(raw, raw_images_p)
+    pd.to_pickle(pd.DataFrame(kin), raw_cond_p)
+    out_i, out_c, out_p = (str(tmp_path / f"out_{x}.pkl") for x in "icp")
+    prep_mod.main([
+        "--raw-images", raw_images_p, "--raw-cond", raw_cond_p,
+        "--zdc-type", "proton", "--min-photon-sum", "1",
+        "--out-images", out_i, "--out-cond", out_c, "--out-positions", out_p,
+    ])
+    images = pd.read_pickle(out_i)
+    cond = pd.read_pickle(out_c)
+    posi = pd.read_pickle(out_p)
+    assert images.shape[1:] == (8, 6)
+    assert "proton_photon_sum" in cond.columns and "std_proton" in cond.columns
+    assert list(posi.columns) == ["max_x", "max_y"]
+
+
+def test_native_numpy_fallbacks(monkeypatch, rng):
+    """All native bindings must agree with their numpy fallbacks when the
+    shared library is unavailable."""
+    from zdcsim import native
+
+    imgs = rng.random((20, 5, 4)).astype(np.float32)
+    gids = rng.integers(0, 4, 20)
+    idx = rng.integers(0, 20, 8)
+    with_lib = (
+        native.photon_sums(imgs), native.max_coords(imgs),
+        native.group_pixel_std(imgs, gids), native.gather_rows(imgs, idx),
+    )
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    without = (
+        native.photon_sums(imgs), native.max_coords(imgs),
+        native.group_pixel_std(imgs, gids), native.gather_rows(imgs, idx),
+    )
+    for a, b in zip(with_lib, without):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
