@@ -182,3 +182,22 @@ def test_evaluator_router_classification(setup):
     m2 = evaluator(state, test_arrays, epoch=0, key=jax.random.PRNGKey(3),
                    expert_labels=np.roll(labels, 7))
     assert m2["router_accuracy"] < 1.0
+
+
+def test_evaluator_switch_matches_dense(setup):
+    """The switch-dispatch eval path must reproduce the dense path exactly."""
+    import dataclasses
+
+    cfg, modules, state = setup
+    n = 128
+    test_arrays = {
+        "real": jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (n, *SHAPE, 1))),
+        "cond": jax.random.normal(jax.random.PRNGKey(2), (n, 9)),
+    }
+    ev_switch = build_evaluator(modules, cfg, chunk_size=128)  # 128 % 64 == 0 -> switch
+    modules_dense = dataclasses.replace(modules, generator_single=None)  # forces dense
+    ev_dense = build_evaluator(modules_dense, cfg, chunk_size=128)
+    m_s = ev_switch(state, test_arrays, epoch=0, key=jax.random.PRNGKey(3))
+    m_d = ev_dense(state, test_arrays, epoch=0, key=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(m_s["ws_mean"], m_d["ws_mean"], rtol=1e-5)
+    np.testing.assert_allclose(m_s["ws_mean_exp"], m_d["ws_mean_exp"], rtol=1e-5)
