@@ -54,14 +54,21 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
 
     gen_single = modules.generator_single
     h_img, w_img = modules.image_shape
-    # Single-expert decode via tiled-switch dispatch when available: exact
-    # same outputs as dense all-expert + gather (tested in
-    # tests/test_evaluator.py), ~E x fewer FLOPs per eval pass.
-    use_switch = gen_single is not None and chunk_size % 64 == 0
 
     @jax.jit
     def gen_chunk(gen_params, gen_stats, cond, idx, key):
-        """Routed generation + channel sums for one chunk."""
+        """Routed generation + channel sums for one chunk.
+
+        Uses single-expert tiled-switch decode when a tile evenly divides the
+        (static) chunk — exact same outputs as dense all-expert + gather
+        (tested in tests/test_evaluator.py), ~E x fewer FLOPs; falls back to
+        dense for indivisible chunks (tiny test sets).
+        """
+        import math
+
+        b = cond.shape[0]
+        tile = math.gcd(b, 64)
+        use_switch = gen_single is not None and tile >= 2
         noise = jax.random.normal(key, (cond.shape[0], noise_dim))
         if use_switch:
             from zdcsim.inference.switch_dispatch import tiled_switch_decode
@@ -82,7 +89,7 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
 
             sel = tiled_switch_decode(
                 [make_decoder(e) for e in range(E)], idx, cond, noise,
-                (h_img, w_img), tile=64,
+                (h_img, w_img), tile=tile,
             )
         else:
             imgs, _ = _apply_gen(gen_params, gen_stats, noise, cond)
