@@ -201,3 +201,15 @@ def test_evaluator_switch_matches_dense(setup):
     m_d = ev_dense(state, test_arrays, epoch=0, key=jax.random.PRNGKey(3))
     np.testing.assert_allclose(m_s["ws_mean"], m_d["ws_mean"], rtol=1e-5)
     np.testing.assert_allclose(m_s["ws_mean_exp"], m_d["ws_mean_exp"], rtol=1e-5)
+
+
+def test_fastsim_switch_odd_batch(setup):
+    """simulate_switch must handle batch sizes the tile does not divide."""
+    from zdcsim.inference import FastSim
+
+    cfg, modules, state = setup
+    engine = FastSim.from_state(modules, state, batch_size=50)  # gcd(50,128)=2
+    engine._build_switch(tile=128)
+    cond = np.random.default_rng(5).normal(size=(50, 9)).astype(np.float32)
+    out = engine.simulate_switch(cond, jax.random.PRNGKey(0))
+    assert np.asarray(out).shape == (50, *SHAPE)

@@ -35,3 +35,13 @@ def test_masked_ws_matches_dense_subset(rng):
     expected = wasserstein_distance(u[u_mask > 0], v[v_mask > 0])
     got = float(masked_wasserstein_1d(u, u_mask, v, v_mask))
     np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_masked_ws_empty_mask_is_zero(rng):
+    u = rng.normal(size=64).astype(np.float32)
+    v = rng.normal(size=64).astype(np.float32)
+    empty = np.zeros(64, np.float32)
+    full = np.ones(64, np.float32)
+    assert float(masked_wasserstein_1d(u, empty, v, full)) == 0.0
+    assert float(masked_wasserstein_1d(u, full, v, empty)) == 0.0
+    assert float(masked_wasserstein_1d(u, empty, v, empty)) == 0.0

@@ -70,7 +70,14 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         modules = build_moe(cfg)
         if args.checkpoint_epoch is not None:
-            engine = FastSim.from_checkpoint(cfg, cfg.train.dir_models, args.checkpoint_epoch)
+            from zdcsim.utils.io import DIR_MODELS
+
+            if cfg.train.checkpoint_experiment_dir is None:
+                raise SystemExit("--checkpoint-epoch requires train.checkpoint_experiment_dir")
+            ckpt_models = DIR_MODELS.format(
+                EXPERIMENT_DIR_NAME=cfg.train.checkpoint_experiment_dir
+            )
+            engine = FastSim.from_checkpoint(cfg, ckpt_models, args.checkpoint_epoch)
         else:
             state = init_state_jit(modules, cfg, jax.random.PRNGKey(int(cfg.train.seed)))
             engine = FastSim.from_state(modules, state)
@@ -91,8 +98,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         state = init_state_jit(modules, cfg, jax.random.PRNGKey(int(cfg.train.seed)))
         if args.checkpoint_epoch is not None:
             from zdcsim.train.checkpoint import restore_checkpoint
+            from zdcsim.utils.io import DIR_MODELS
 
-            state = restore_checkpoint(cfg.train.dir_models, args.checkpoint_epoch, state)
+            if cfg.train.checkpoint_experiment_dir is None:
+                raise SystemExit("--checkpoint-epoch requires train.checkpoint_experiment_dir")
+            ckpt_models = DIR_MODELS.format(
+                EXPERIMENT_DIR_NAME=cfg.train.checkpoint_experiment_dir
+            )
+            state = restore_checkpoint(ckpt_models, args.checkpoint_epoch, state)
         _, test_loader = make_loaders(cfg, split)
         evaluator = build_evaluator(modules, cfg)
         metrics = evaluator(

@@ -142,12 +142,17 @@ class FastSim:
             return decode
 
         def sim_switch(weights, cond, key):
+            import math
+
             gp, gs, rp = weights
             _, logits = router_mod.apply({"params": rp}, cond)
             idx = jnp.argmax(logits, axis=-1)
             noise = jax.random.normal(key, (cond.shape[0], noise_dim), dtype)
             fns = [make_decoder(gp, gs, e) for e in range(e_count)]
-            imgs = tiled_switch_decode(fns, idx, cond, noise, (h, w), tile=tile)
+            # the tile must divide the (static) batch; fall back to the
+            # largest common divisor for odd batch sizes
+            eff_tile = math.gcd(cond.shape[0], tile)
+            imgs = tiled_switch_decode(fns, idx, cond, noise, (h, w), tile=eff_tile)
             return imgs, idx
 
         self._sim_switch = jax.jit(sim_switch)
@@ -182,7 +187,7 @@ class FastSim:
         cond = jax.random.normal(
             jax.random.fold_in(key, 1), (self.batch_size, self.modules.cond_dim)
         )
-        for i in range(warmup):
+        for i in range(max(warmup, 1)):
             out, _ = self._sim_switch(self._weights, cond, jax.random.fold_in(key, i))
         float(out.sum())
         # Depth-2 pipeline: dispatch batch i+1 before reading back batch i's
@@ -422,7 +427,7 @@ class FastSim:
         """Measure steady-state showers/sec on synthetic conditions."""
         key = key if key is not None else jax.random.PRNGKey(0)
         cond = jax.random.normal(jax.random.fold_in(key, 1), (self.batch_size, self.modules.cond_dim))
-        for i in range(warmup):
+        for i in range(max(warmup, 1)):
             out, _ = self._sim(self._weights, cond, jax.random.fold_in(key, i))
         float(out.sum())
         # NOTE: a scalar readback per batch forces real execution —

@@ -69,4 +69,9 @@ def masked_wasserstein_1d(
     cdf_v = jnp.searchsorted(v_sorted, all_vals[:-1], side="right") / n_v
     cdf_u = jnp.minimum(cdf_u, 1.0)
     cdf_v = jnp.minimum(cdf_v, 1.0)
-    return jnp.sum(jnp.abs(cdf_u - cdf_v) * deltas)
+    result = jnp.sum(jnp.abs(cdf_u - cdf_v) * deltas)
+    # An empty side has no empirical distribution: report 0 like the
+    # reference does for expert slices with no samples (train/utils.py:164-166)
+    # rather than a bogus CDF-vs-zero distance.
+    both = (jnp.sum(u_mask) > 0) & (jnp.sum(v_mask) > 0)
+    return jnp.where(both, result, 0.0)

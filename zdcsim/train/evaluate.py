@@ -147,7 +147,9 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
         idx_parts, org_parts = [], []
         for c in range(chunks):
             sl = slice(c * csize, (c + 1) * csize)
-            idx_parts.append(route_chunk(state.router.params, cond[sl], k_route))
+            idx_parts.append(
+                route_chunk(state.router.params, cond[sl], jax.random.fold_in(k_route, c))
+            )
             org_parts.append(real_channels(real[sl]))
         idx = jnp.concatenate(idx_parts)
         ch_org = jnp.concatenate(org_parts)

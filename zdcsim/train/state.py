@@ -6,7 +6,11 @@ The reference keeps 3*E+1 separate Adam optimizers in Python lists
 (moe.py:132-135). Here each component's per-expert parameters live on a
 leading ``[E, ...]`` axis of ONE pytree (one Adam state each), and the skip
 becomes :func:`masked_expert_update` — inactive experts keep their previous
-parameters, Adam moments, and step counts exactly, inside one jitted program.
+parameters and Adam moments inside one jitted program. Known divergence: the
+Adam step COUNT is a single scalar shared across experts (optax state
+layout), so an expert frozen for many steps sees a more-converged bias
+correction on reactivation than the reference's per-expert optimizers would
+(effect bounded: correction factors differ only while moments are near zero).
 
 EMA of generator weights is implemented live (the reference instantiates an
 ``EMAHelper`` but never calls ``update()`` — train/loop.py:44,380-418; a
