@@ -38,3 +38,18 @@ def test_training_improves_ws(tmp_path):
     assert ws[-1] < 0.7 * ws[0], f"ws did not improve: {ws}"
     # and never NaN
     assert all(np.isfinite(h["gen_loss"]) for h in history)
+
+
+def test_training_curves_saved(tmp_path):
+    cfg = load_config(overrides=[
+        "dataset.synthetic=true", "dataset.synthetic_n_samples=128",
+        "dataset.input_image_shape=[8, 6]", "train.batch_size=32",
+        "train.epochs=3", "train.eval_every=2", "model.n_experts=2",
+        "train.save_eval_plots=true", "parallel.n_devices=1",
+        f"train.save_experiments_dir={tmp_path}/",
+    ])
+    modules = build_tiny_moe(cfg, SHAPE)
+    train(cfg, modules=modules)
+    import os
+
+    assert os.path.exists(os.path.join(cfg.config.experiment_dir, "plots", "training_curves.png"))

@@ -157,6 +157,49 @@ class CheckpointSaver(Callback):
             log.info("Saved checkpoint (ws_mean=%.3f < %.1f): %s", ws, self.ws_threshold, path)
 
 
+class TrainingCurvePlotter(Callback):
+    """Save loss/WS-vs-epoch curves at train end (observability beyond the
+    reference's per-epoch wandb scalars)."""
+
+    def __init__(self, out_dir: Optional[str], enabled: bool):
+        self.out_dir = out_dir
+        self.enabled = enabled and out_dir is not None
+
+    def on_train_end(self, history):
+        if not self.enabled or not history:
+            return
+        import os
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 3, figsize=(16, 4))
+        epochs = [h["epoch"] for h in history]
+        for ax, keys, title in (
+            (axes[0], ("gen_loss", "disc_loss"), "GAN losses"),
+            (axes[1], ("div_loss", "intensity_loss", "aux_reg_loss"), "Regularizers"),
+            (axes[2], ("ws_mean",), "Wasserstein fidelity"),
+        ):
+            for k in keys:
+                xs = [e for e, h in zip(epochs, history) if h.get(k) is not None]
+                ys = [h[k] for h in history if h.get(k) is not None]
+                if xs:
+                    ax.plot(xs, ys, label=k)
+            ax.set_xlabel("epoch")
+            ax.set_title(title)
+            ax.legend()
+        if any(h.get("ws_mean") for h in history):
+            axes[2].set_yscale("log")
+        fig.tight_layout()
+        os.makedirs(self.out_dir, exist_ok=True)
+        path = os.path.join(self.out_dir, "training_curves.png")
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+        log.info("Saved training curves to %s", path)
+
+
 def _flatten(d: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for k, v in d.items():
@@ -170,10 +213,17 @@ def _flatten(d: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
 
 def setup_callbacks(cfg, dir_models: Optional[str]) -> CallbackList:
     """Reference ``setup_callbacks`` (train/loop.py:357-375): wandb +
-    checkpointing + console + tracker."""
+    checkpointing + console + tracker + training curves."""
+    import os
+
+    plots_enabled = bool(cfg.wandb.get("plot_images", False)) or bool(
+        cfg.train.get("save_eval_plots", False)
+    )
+    plots_dir = os.path.join(str(cfg.config.get("experiment_dir", ".")), "plots")
     return CallbackList([
         ConsoleLogger(),
         MetricsTracker(),
         WandBLogger(cfg),
         CheckpointSaver(dir_models, cfg.train.ws_threshold_model_save),
+        TrainingCurvePlotter(plots_dir, plots_enabled),
     ])
