@@ -214,3 +214,21 @@ def test_bf16_training_step_runs():
     step32 = build_train_step(modules32, cfg32)
     _, m32 = step32(state32, batch, jax.random.PRNGKey(2), jnp.asarray(0))
     np.testing.assert_allclose(float(m["disc_loss"]), float(m32["disc_loss"]), rtol=0.1, atol=0.05)
+
+
+def test_remat_step_matches_plain():
+    cfg_r = tiny_cfg(**{"train.remat": True})
+    cfg_p = tiny_cfg()
+    batch = make_batch(jax.random.PRNGKey(1))
+
+    def run(cfg):
+        modules = build_tiny_moe(cfg, SHAPE)
+        state = init_state(modules, cfg, jax.random.PRNGKey(0))
+        step = build_train_step(modules, cfg)
+        _, m = step(state, batch, jax.random.PRNGKey(2), jnp.asarray(0))
+        return float(m["gen_loss"]), float(m["disc_loss"])
+
+    g_r, d_r = run(cfg_r)
+    g_p, d_p = run(cfg_p)
+    np.testing.assert_allclose(g_r, g_p, rtol=1e-5)
+    np.testing.assert_allclose(d_r, d_p, rtol=1e-5)

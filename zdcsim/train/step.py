@@ -171,6 +171,14 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
         )
         return out.astype(jnp.float32), new_stats
 
+    # Rematerialization: recompute the big G/D forwards in the backward pass
+    # instead of keeping activations live. Dense-train activations scale with
+    # E x B (E=5/B=512 OOMs a 16 GB chip without this). Opt-in: train.remat.
+    if bool(cfg.train.get("remat", False)):
+        gen_forward = jax.checkpoint(gen_forward)
+        disc_forward = jax.checkpoint(disc_forward)
+        aux_forward = jax.checkpoint(aux_forward)
+
     def train_step(
         state: MoETrainState, batch: Dict[str, jnp.ndarray], key: jax.Array, epoch: jnp.ndarray
     ) -> Tuple[MoETrainState, Dict[str, jnp.ndarray]]:
