@@ -130,8 +130,22 @@ def main(argv: Optional[List[str]] = None) -> int:
         split = get_train_test_data(cfg)
         modules = build_moe(cfg)
         state = init_state_jit(modules, cfg, jax.random.PRNGKey(int(cfg.train.seed)))
-        engine = FastSim.from_state(modules, state, scaler_cond=split.scaler_cond)
-        showers, experts = engine.simulate(
+        if args.checkpoint_epoch is not None:
+            from zdcsim.train.checkpoint import restore_checkpoint
+            from zdcsim.utils.io import DIR_MODELS
+
+            if cfg.train.checkpoint_experiment_dir is None:
+                raise SystemExit("--checkpoint-epoch requires train.checkpoint_experiment_dir")
+            ckpt_models = DIR_MODELS.format(
+                EXPERIMENT_DIR_NAME=cfg.train.checkpoint_experiment_dir
+            )
+            state = restore_checkpoint(ckpt_models, args.checkpoint_epoch, state)
+        # Tiled-switch dispatch: single-expert FLOPs and far lower memory
+        # than dense all-expert decode (8192-dense OOMs a 16 GB chip).
+        engine = FastSim.from_state(
+            modules, state, scaler_cond=split.scaler_cond, batch_size=4096
+        )
+        showers, experts = engine.simulate_switch(
             split.y_test, jax.random.PRNGKey(0), return_experts=True
         )
         np.savez(args.simulate, showers=np.asarray(showers), experts=np.asarray(experts))

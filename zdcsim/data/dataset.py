@@ -216,7 +216,9 @@ def transform_data_for_training(
         n_test = int(round(n * float(cfg.dataset.test_size)))
         test_idx, train_idx = indices[:n_test], indices[n_test:]
 
-    if cfg.train.save_experiment_data and not resume:
+    # Persist scalers + split indices into THIS run's dir even on resume, so
+    # runs chained from a resumed run can themselves be resumed.
+    if cfg.train.save_experiment_data:
         create_dir(dir_info)
         save_scales(zdc, scaler_cond.mean_, scaler_cond.scale_, dir_info)
         create_dir(dir_models)
