@@ -50,9 +50,25 @@ def test_state_sharding_rules(cpu_devices):
     # expert-stacked generator leaf shards over expert axis
     gen_leaf_sharding = jax.tree_util.tree_leaves(shardings.gen.params)[0]
     assert EXPERT_AXIS in str(gen_leaf_sharding.spec)
-    # router replicates
-    router_leaf = jax.tree_util.tree_leaves(shardings.router.params)[0]
-    assert router_leaf.spec == jax.sharding.PartitionSpec()
+    # router replicates — including its (E,)-shaped logit-head bias, which a
+    # shape[0]==E heuristic would wrongly expert-shard (structural-rule guard)
+    router_leaves = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda s: s, shardings.router)
+    )
+    e_sized = [
+        s for s, leaf in zip(
+            jax.tree_util.tree_leaves(shardings.router.params),
+            jax.tree_util.tree_leaves(state.router.params),
+        )
+        if getattr(leaf, "shape", ()) and leaf.shape[0] == 4
+    ]
+    assert e_sized, "expected at least one (E,)-leading router leaf (logit bias)"
+    for s in router_leaves:
+        assert s.spec == jax.sharding.PartitionSpec()
+    # EMA shadow weights shard like the generator; the step counter replicates
+    ema_leaf = jax.tree_util.tree_leaves(shardings.ema_gen_params)[0]
+    assert EXPERT_AXIS in str(ema_leaf.spec)
+    assert shardings.step.spec == jax.sharding.PartitionSpec()
 
 
 def test_sharded_train_step_executes(cpu_devices):
@@ -108,6 +124,26 @@ def test_data_parallel_only_mesh(cpu_devices):
     }
     _, metrics = step(state, batch, jax.random.PRNGKey(2), jnp.asarray(0))
     assert np.isfinite(float(metrics["disc_loss"]))
+
+
+def test_sharded_switch_serving_matches_single_device(cpu_devices):
+    """Multi-chip serving: tiled-switch dispatch sharded over the data axis
+    (shard_map, weights replicated) must reproduce the single-device switch
+    outputs exactly — same key -> same noise; dispatch is per-sample."""
+    from zdcsim.inference import FastSim
+
+    cfg = tiny_cfg(n_experts=3)
+    modules = build_tiny_moe(cfg, SHAPE)
+    state = init_state(modules, cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(n_devices=8, expert_parallel=1)
+    engine_sharded = FastSim.from_state(modules, state, batch_size=128, mesh=mesh)
+    engine_local = FastSim.from_state(modules, state, batch_size=128)
+    cond = np.random.default_rng(7).normal(size=(200, 9)).astype(np.float32)
+    key = jax.random.PRNGKey(11)
+    out_s, idx_s = engine_sharded.simulate_switch(cond, key, return_experts=True)
+    out_l, idx_l = engine_local.simulate_switch(cond, key, return_experts=True)
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_l))
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_l), rtol=1e-5, atol=1e-6)
 
 
 def test_train_loop_multi_device(cpu_devices, tmp_path):

@@ -42,8 +42,9 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def _expert_leaf_sharding(mesh: Mesh, n_experts: int):
-    """Leaves with a leading expert axis shard it over ``expert``; everything
-    else replicates."""
+    """Per-leaf rule INSIDE an expert-stacked component: array leaves carry a
+    leading ``[E, ...]`` axis by nn.vmap construction and shard over
+    ``expert``; scalar bookkeeping (Adam step counts) replicates."""
     expert_s = NamedSharding(mesh, P(EXPERT_AXIS))
     repl = replicated(mesh)
 
@@ -57,10 +58,34 @@ def _expert_leaf_sharding(mesh: Mesh, n_experts: int):
 
 
 def state_shardings(mesh: Mesh, state: Any, n_experts: int) -> Any:
-    """Sharding pytree for a MoETrainState: expert-stacked leaves over the
-    expert axis, router/scalars replicated."""
+    """Sharding pytree for a MoETrainState.
+
+    Structural, not shape-based: only the expert-stacked subtrees
+    (``state.{gen,disc,aux}`` and ``ema_gen_params`` — exactly the components
+    built via ``stack_experts``) shard their leading ``[E, ...]`` axis over
+    the expert mesh axis; the router, the step counter, and EVERYTHING else
+    replicate even if a leaf coincidentally has a leading dim of
+    ``n_experts`` (e.g. the router head's ``(E,)`` logit bias).
+
+    Accepts either a full MoETrainState or any pytree with
+    ``gen/disc/aux/router`` attributes; falls back to replicating unknown
+    structures wholesale.
+    """
     rule = _expert_leaf_sharding(mesh, n_experts)
-    return jax.tree_util.tree_map(rule, state)
+    repl = replicated(mesh)
+    if not all(hasattr(state, a) for a in ("gen", "disc", "aux", "router")):
+        return jax.tree_util.tree_map(lambda _: repl, state)
+
+    expert_shard = lambda sub: jax.tree_util.tree_map(rule, sub)
+    replicate = lambda sub: jax.tree_util.tree_map(lambda _: repl, sub)
+    return state.replace(
+        gen=expert_shard(state.gen),
+        disc=expert_shard(state.disc),
+        aux=expert_shard(state.aux),
+        router=replicate(state.router),
+        ema_gen_params=expert_shard(state.ema_gen_params),
+        step=repl,
+    )
 
 
 def shard_state(mesh: Mesh, state: Any, n_experts: int) -> Any:
