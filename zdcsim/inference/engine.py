@@ -45,10 +45,16 @@ class FastSim:
             a train state for smoothed serving).
         router_params: router weights.
         batch_size: the compiled batch shape; inputs are chunked/padded to it.
+            Default (None) picks per path: 8192 for the single-expert-FLOPs
+            switch/grouped/stream paths, 2048 for the dense all-expert path
+            (dense 8192 at E=3 f32 OOMs a 16 GB chip — measured; an explicit
+            batch_size applies to every path unchecked).
         precision: "f32" or "bf16" (decode in bfloat16, outputs float32).
         scaler_cond: optional StandardScaler to standardize raw kinematics.
         mesh: optional jax Mesh — batch shards over its 'data' axis.
     """
+
+    DENSE_SAFE_BATCH = 2048
 
     def __init__(
         self,
@@ -56,16 +62,21 @@ class FastSim:
         gen_params,
         gen_stats,
         router_params,
-        batch_size: int = 8192,
+        batch_size: Optional[int] = None,
         precision: str = "f32",
         scaler_cond=None,
         mesh=None,
         fast: bool = True,
     ):
         self.modules = modules
-        self.batch_size = int(batch_size)
+        self.batch_size = int(batch_size) if batch_size is not None else 8192
+        self.dense_batch_size = (
+            int(batch_size) if batch_size is not None
+            else min(self.DENSE_SAFE_BATCH, self.batch_size)
+        )
         self.scaler_cond = scaler_cond
         self.noise_dim = modules.noise_dim
+        self._mesh = mesh
         h, w = modules.image_shape
         self.image_shape = (h, w)
         dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
@@ -73,6 +84,19 @@ class FastSim:
 
         gen_params = _cast_tree(gen_params, dtype)
         gen_stats = _cast_tree(gen_stats, dtype)
+        if mesh is not None:
+            # Serving replicates weights (these generators are KBs-MBs; the
+            # batch is what shards). A state fresh from the expert-sharded
+            # train step gets gathered once here.
+            from zdcsim.parallel.mesh import replicated
+
+            rep = replicated(mesh)
+            place = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), t
+            )
+            gen_params, gen_stats, router_params = (
+                place(gen_params), place(gen_stats), place(router_params)
+            )
         self._weights = (gen_params, gen_stats, router_params)
 
         gen_mod, router_mod = modules.generator, modules.router
@@ -117,7 +141,16 @@ class FastSim:
 
     def _build_switch(self, tile: int = 128):
         """One-program grouped dispatch (zdcsim.inference.switch_dispatch):
-        routed decoding at single-expert FLOPs with zero host round trips."""
+        routed decoding at single-expert FLOPs with zero host round trips.
+
+        With a mesh, the batch shards over the 'data' axis and each device
+        runs the tiled-switch dispatch LOCALLY on its shard via ``shard_map``
+        (weights replicated) — the sort/scan/scatter never crosses devices,
+        so scaling is embarrassingly parallel over ICI with zero collectives
+        in the hot loop. Per-sample outputs are identical to the single-device
+        path (same key -> same global noise; dispatch grouping is
+        sample-independent).
+        """
         from zdcsim.inference.switch_dispatch import tiled_switch_decode
         from zdcsim.models.proton_fast import fast_generator_apply
 
@@ -128,6 +161,7 @@ class FastSim:
         use_fast = self.uses_fast_path
         e_count = self.modules.n_experts
         noise_dim = self.noise_dim
+        mesh = self._mesh
 
         def make_decoder(gp, gs, e):
             def decode(z, c):
@@ -148,14 +182,46 @@ class FastSim:
             _, logits = router_mod.apply({"params": rp}, cond)
             idx = jnp.argmax(logits, axis=-1)
             noise = jax.random.normal(key, (cond.shape[0], noise_dim), dtype)
-            fns = [make_decoder(gp, gs, e) for e in range(e_count)]
-            # the tile must divide the (static) batch; fall back to the
-            # largest common divisor for odd batch sizes
-            eff_tile = math.gcd(cond.shape[0], tile)
-            imgs = tiled_switch_decode(fns, idx, cond, noise, (h, w), tile=eff_tile)
-            return imgs, idx
+            if mesh is None:
+                fns = [make_decoder(gp, gs, e) for e in range(e_count)]
+                # the tile must divide the (static) batch; fall back to the
+                # largest common divisor for odd batch sizes
+                eff_tile = math.gcd(cond.shape[0], tile)
+                imgs = tiled_switch_decode(fns, idx, cond, noise, (h, w), tile=eff_tile)
+                return imgs, idx
 
-        self._sim_switch = jax.jit(sim_switch)
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from zdcsim.parallel.mesh import DATA_AXIS
+
+            n_data = mesh.shape[DATA_AXIS]
+            local_b = cond.shape[0] // n_data
+            eff_tile = math.gcd(local_b, tile)
+
+            def local_decode(gp_l, gs_l, idx_l, cond_l, noise_l):
+                fns = [make_decoder(gp_l, gs_l, e) for e in range(e_count)]
+                return tiled_switch_decode(
+                    fns, idx_l, cond_l, noise_l, (h, w), tile=eff_tile
+                )
+
+            decode = shard_map(
+                local_decode,
+                mesh=mesh,
+                in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+            )
+            return decode(gp, gs, idx, cond, noise), idx
+
+        if mesh is None:
+            self._sim_switch = jax.jit(sim_switch)
+        else:
+            from zdcsim.parallel.mesh import batch_sharding, replicated
+
+            self._sim_switch = jax.jit(
+                sim_switch,
+                in_shardings=(replicated(mesh), batch_sharding(mesh), replicated(mesh)),
+            )
 
     def simulate_switch(self, cond, key: jax.Array, return_experts: bool = False):
         """Routed generation via on-device tiled-switch dispatch (the
@@ -406,7 +472,7 @@ class FastSim:
         """
         cond = jnp.asarray(cond, jnp.float32)
         n = cond.shape[0]
-        bs = self.batch_size
+        bs = self.dense_batch_size
         outs, idxs = [], []
         for start in range(0, n, bs):
             chunk = cond[start : start + bs]
@@ -426,7 +492,7 @@ class FastSim:
     ) -> Dict[str, float]:
         """Measure steady-state showers/sec on synthetic conditions."""
         key = key if key is not None else jax.random.PRNGKey(0)
-        cond = jax.random.normal(jax.random.fold_in(key, 1), (self.batch_size, self.modules.cond_dim))
+        cond = jax.random.normal(jax.random.fold_in(key, 1), (self.dense_batch_size, self.modules.cond_dim))
         for i in range(max(warmup, 1)):
             out, _ = self._sim(self._weights, cond, jax.random.fold_in(key, i))
         float(out.sum())
@@ -438,10 +504,10 @@ class FastSim:
             out, _ = self._sim(self._weights, cond, jax.random.fold_in(key, 100 + i))
             float(out.sum())
         dt = time.perf_counter() - t0
-        total = n_batches * self.batch_size
+        total = n_batches * self.dense_batch_size
         return {
             "showers_per_sec": total / dt,
-            "batch_size": float(self.batch_size),
+            "batch_size": float(self.dense_batch_size),
             "seconds": dt,
             "n_showers": float(total),
         }
