@@ -245,6 +245,29 @@ def test_prep_pickle_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(loaded.positions, ds.positions, rtol=1e-6)
 
 
+def test_prepare_dataset_diversity_in_log_space(rng):
+    """The SDI-GAN std target is computed on log1p images (reference notebook
+    order: data_filtering log-transform precedes the diversity std)."""
+    from zdcsim.data.prep import (
+        diversity_std, group_by_condition, log_transform, prepare_dataset,
+    )
+    from zdcsim.data.synthetic import _render_showers, _sample_kinematics
+
+    kin = _sample_kinematics(np.random.default_rng(0), 32, "proton")
+    # duplicate conditioning rows so groups have size > 1
+    for k in kin:
+        kin[k] = np.concatenate([kin[k], kin[k]])
+    raw = _render_showers(np.random.default_rng(1), kin, (8, 6))
+    ds = prepare_dataset(raw, kin, "proton")
+    gids = group_by_condition(np.stack([kin[c] for c in
+                                        ("Energy", "Vx", "Vy", "Vz", "Px", "Py", "Pz",
+                                         "mass", "charge")], axis=1))
+    expected = diversity_std(log_transform(raw), gids)
+    np.testing.assert_allclose(ds.cond["std_proton"], expected, rtol=1e-6)
+    wrong = diversity_std(raw, gids)
+    assert not np.allclose(ds.cond["std_proton"], wrong)
+
+
 def test_prep_cli_main(tmp_path, rng):
     """The offline-prep CLI end to end (notebook-equivalent pipeline)."""
     import pandas as pd

@@ -203,6 +203,63 @@ def test_evaluator_switch_matches_dense(setup):
     np.testing.assert_allclose(m_s["ws_mean_exp"], m_d["ws_mean_exp"], rtol=1e-5)
 
 
+def test_evaluator_covers_full_test_set(setup):
+    """A test set that is not a multiple of chunk_size must still be fully
+    evaluated (the final partial chunk is padded, not dropped)."""
+    cfg, modules, state = setup
+    n = 50  # chunk_size=32 -> one full chunk + 18 remainder
+    test_arrays = {
+        "real": jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (n, *SHAPE, 1))),
+        "cond": jax.random.normal(jax.random.PRNGKey(2), (n, 9)),
+    }
+    evaluator = build_evaluator(modules, cfg, chunk_size=32)
+    m = evaluator(state, test_arrays, epoch=0, key=jax.random.PRNGKey(3))
+    assert int(m["eval_expert_counts"].sum()) == n
+    assert np.isfinite(m["ws_mean"])
+
+
+def test_evaluator_sample_routing(setup):
+    """eval.sample_routing=true reproduces the reference's stochastic
+    (gumbel-perturbed) eval routing (moe.py:650); default argmax routing is
+    key-independent."""
+    cfg, modules, state = setup
+    n = 256
+    test_arrays = {
+        "real": jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (n, *SHAPE, 1))),
+        "cond": jax.random.normal(jax.random.PRNGKey(2), (n, 9)) * 0.1,
+    }
+    cfg_s = tiny_cfg(**{"eval.sample_routing": "true"})
+    ev_sample = build_evaluator(modules, cfg_s, chunk_size=128)
+    m1 = ev_sample(state, test_arrays, epoch=0, key=jax.random.PRNGKey(3))
+    m2 = ev_sample(state, test_arrays, epoch=0, key=jax.random.PRNGKey(4))
+    # near-uniform logits + gumbel noise: assignments differ across keys
+    assert not np.array_equal(m1["eval_expert_counts"], m2["eval_expert_counts"])
+    assert np.isfinite(m1["ws_mean"])
+    ev_det = build_evaluator(modules, tiny_cfg(), chunk_size=128)
+    d1 = ev_det(state, test_arrays, epoch=0, key=jax.random.PRNGKey(3))
+    d2 = ev_det(state, test_arrays, epoch=0, key=jax.random.PRNGKey(4))
+    np.testing.assert_array_equal(d1["eval_expert_counts"], d2["eval_expert_counts"])
+
+
+def test_evaluator_fused_epilogue_matches_xla(setup):
+    """eval.fused_epilogue=true (Pallas expm1+channel-sum) must reproduce the
+    XLA path's metrics exactly (interpret mode on CPU; compiled on TPU)."""
+    cfg, modules, state = setup
+    n = 64
+    test_arrays = {
+        "real": jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (n, *SHAPE, 1))),
+        "cond": jax.random.normal(jax.random.PRNGKey(2), (n, 9)),
+    }
+    ev_xla = build_evaluator(modules, tiny_cfg(), chunk_size=64)
+    ev_pl = build_evaluator(
+        modules, tiny_cfg(**{"eval.fused_epilogue": "true"}), chunk_size=64
+    )
+    m_x = ev_xla(state, test_arrays, epoch=0, key=jax.random.PRNGKey(3))
+    m_p = ev_pl(state, test_arrays, epoch=0, key=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(m_p["ws_mean"], m_x["ws_mean"], rtol=1e-5)
+    np.testing.assert_allclose(m_p["ws_mean_exp"], m_x["ws_mean_exp"], rtol=1e-5)
+
+
 def test_fastsim_switch_odd_batch(setup):
     """simulate_switch must handle batch sizes the tile does not divide."""
     from zdcsim.inference import FastSim

@@ -136,6 +136,39 @@ def test_build_moe_neutron_config():
     assert out.shape == (3, 2, 44, 44, 1)
 
 
+def test_neutron_group_norm_mode():
+    """model.norm=group swaps neutron BatchNorm for GroupNorm/LayerNorm:
+    no batch_stats collection (batch-independent — exact per-expert
+    semantics in the dense train step, see step.py divergence list)."""
+    cfg = load_config(overrides=[
+        "model.architecture=neutron",
+        "model.norm=group",
+        "dataset.zdc_type=neutron",
+        "dataset.input_image_shape=[44,44]",
+        "model.n_experts=2",
+    ])
+    moe = build_moe(cfg)
+    noise = jnp.zeros((2, Z))
+    cond = jnp.zeros((2, C))
+    variables = moe.generator.init(KEYS, noise, cond, True)
+    assert "batch_stats" not in variables  # GN/LN keep no running stats
+    out = moe.generator.apply(
+        variables, noise, cond, True, rngs={"dropout": KEYS["dropout"]}
+    )
+    assert out.shape == (2, 2, 44, 44, 1)
+    img_e = jnp.zeros((2, 2, 44, 44, 1))
+    aux_vars = moe.aux_reg.init(KEYS, img_e, True)
+    assert "batch_stats" not in aux_vars
+    # default stays reference-parity BatchNorm
+    cfg_bn = load_config(overrides=[
+        "model.architecture=neutron", "dataset.zdc_type=neutron",
+        "dataset.input_image_shape=[44,44]", "model.n_experts=2",
+    ])
+    moe_bn = build_moe(cfg_bn)
+    v_bn = moe_bn.generator.init(KEYS, noise, cond, True)
+    assert "batch_stats" in v_bn
+
+
 def test_expert_dense_grouped_linear():
     from zdcsim.models.layers import ExpertDense
 

@@ -24,7 +24,7 @@ def _cfg(tmp_path, **over):
     return load_config(overrides=base + [f"{k}={v}" for k, v in over.items()])
 
 
-def test_train_resume_roundtrip(tmp_path):
+def test_train_resume_roundtrip(tmp_path, monkeypatch):
     cfg = _cfg(tmp_path, **{"train.epochs": 3, "config.run_name": "first"})
     modules = build_tiny_moe(cfg, SHAPE)
     history = train(cfg, modules=modules)
@@ -45,3 +45,37 @@ def test_train_resume_roundtrip(tmp_path):
     # resumed from epoch 2: trains epochs 2..4
     assert [h["epoch"] for h in history2] == [2, 3, 4]
     assert np.isfinite(history2[-1]["gen_loss"])
+
+    # --eval/--simulate with --checkpoint-epoch must reuse the persisted
+    # split: the CLI maps the flag onto train.epoch_to_load so
+    # get_train_test_data loads the saved indices instead of regenerating
+    # from the seed (no train/test leakage).
+    from zdcsim.cli import _inject_checkpoint_epoch
+
+    overrides = _inject_checkpoint_epoch(
+        [f"train.checkpoint_experiment_dir={exp_dir}"], 2
+    )
+    assert "train.epoch_to_load=2" in overrides
+    cfg3 = _cfg(tmp_path, **{
+        "train.checkpoint_experiment_dir": exp_dir, "train.epoch_to_load": 2,
+    })
+    import zdcsim.data.dataset as dsmod
+    from zdcsim.data import get_train_test_data
+
+    loaded_paths = []
+    orig_load = dsmod.load_train_test_indices
+
+    def spy(path):
+        loaded_paths.append(path)
+        return orig_load(path)
+
+    monkeypatch.setattr(dsmod, "load_train_test_indices", spy)
+    split_resumed = get_train_test_data(cfg3)
+    assert loaded_paths, "resume eval must load the PERSISTED split indices"
+    # same seed/data: persisted membership equals the training run's split
+    split_train = get_train_test_data(_cfg(tmp_path))
+    np.testing.assert_array_equal(split_resumed.y_test, split_train.y_test)
+    # without --checkpoint-epoch the overrides pass through untouched
+    assert _inject_checkpoint_epoch(["a=1"], None) == ["a=1"]
+    # an explicit user epoch_to_load wins
+    assert _inject_checkpoint_epoch(["train.epoch_to_load=9"], 2) == ["train.epoch_to_load=9"]

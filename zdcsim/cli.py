@@ -42,6 +42,23 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
+def _inject_checkpoint_epoch(overrides: List[str], checkpoint_epoch: Optional[int]) -> List[str]:
+    """--bench/--eval/--simulate from a checkpoint must reuse the PERSISTED
+    train/test split of that run, not regenerate it from the seed —
+    regeneration would silently change test membership (train/test leakage in
+    the reported WS) if seed or data options differ from the training
+    invocation. Mapping --checkpoint-epoch onto train.epoch_to_load (before
+    load_config, so the both-or-neither resume validation sees a consistent
+    pair) routes get_train_test_data through the saved-index load path
+    (data/dataset.py)."""
+    out = list(overrides)
+    if checkpoint_epoch is not None and not any(
+        o.startswith("train.epoch_to_load=") for o in out
+    ):
+        out.append(f"train.epoch_to_load={checkpoint_epoch}")
+    return out
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s: %(message)s"
@@ -54,7 +71,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from zdcsim.config import load_config
 
-    cfg = load_config(args.config, args.override)
+    cfg = load_config(args.config, _inject_checkpoint_epoch(args.override, args.checkpoint_epoch))
 
     import jax
 

@@ -94,18 +94,22 @@ def group_by_condition(cond: np.ndarray) -> np.ndarray:
     return group_ids.astype(np.int64)
 
 
-def diversity_std(images_linear: np.ndarray, group_ids: np.ndarray) -> np.ndarray:
+def diversity_std(images_log: np.ndarray, group_ids: np.ndarray) -> np.ndarray:
     """SDI-GAN per-event diversity target.
 
     Per group of same-condition events: per-pixel stddev across the group,
     summed over pixels; every member gets the group value; finally
     max-normalized over the dataset (calculating_diversity_for_data.ipynb).
-    Groups of size 1 get std 0. Native C++ kernel (Welford per pixel lane,
-    threaded over groups) when available.
+    Expects LOG-space images: the reference applies ``np.log`` in
+    data_filtering.ipynb before the diversity notebook takes ``np.std`` —
+    linear-space std would concentrate near 0 after max-normalization and
+    distort the SDI-GAN target distribution. Groups of size 1 get std 0.
+    Native C++ kernel (Welford per pixel lane, threaded over groups) when
+    available.
     """
     from zdcsim import native
 
-    out = native.group_pixel_std(np.asarray(images_linear, np.float32), group_ids)
+    out = native.group_pixel_std(np.asarray(images_log, np.float32), group_ids)
     peak = out.max() if out.size else 0.0
     if peak > 0:
         out = out / peak
@@ -171,8 +175,10 @@ def prepare_dataset(
 
     cond_mat = np.stack([cond[c] for c in COND_COLUMNS], axis=1)
     group_ids = group_by_condition(cond_mat)
-    std = diversity_std(raw_images, group_ids)
+    # Diversity std is taken in LOG space (reference notebook order: log
+    # first, then group std); max coords are transform-invariant (argmax).
     images_log = log_transform(raw_images)
+    std = diversity_std(images_log, group_ids)
     positions = max_coordinates(raw_images)
 
     out_cond = dict(cond)

@@ -111,15 +111,25 @@ def build_moe(cfg) -> MoEModules:
     aux_cls = MODEL_REGISTRY[f"{arch}.aux_reg"]
     router_cls = MODEL_REGISTRY[cfg.model.router.version]
 
+    # Neutron family: model.norm selects batch (reference parity) or group
+    # normalization (batch-independent; exact per-expert semantics in the
+    # dense train step — see GeneratorNeutron._bn).
+    gen_extra, aux_extra = {}, {}
+    if arch == "neutron":
+        norm = str(cfg.model.get("norm", "batch"))
+        gen_extra["norm"] = norm
+        aux_extra["norm"] = norm
+
     # NOTE: nn.vmap drops keyword args, so ``train`` MUST be passed
     # positionally through stacked modules; in_axes covers it with None.
     generator = stack_experts(
-        gen_cls, n_experts, in_axes=(None, None, None), noise_dim=noise_dim, cond_dim=cond_dim
+        gen_cls, n_experts, in_axes=(None, None, None),
+        noise_dim=noise_dim, cond_dim=cond_dim, **gen_extra,
     )
     # Discriminator/aux consume per-expert fakes [E, B, ...]; the conditioning
     # (and real images, broadcast by the caller) are shared across experts.
     discriminator = stack_experts(disc_cls, n_experts, in_axes=(0, None, None), cond_dim=cond_dim)
-    aux_reg = stack_experts(aux_cls, n_experts, in_axes=(0, None))
+    aux_reg = stack_experts(aux_cls, n_experts, in_axes=(0, None), **aux_extra)
     router = router_cls(n_experts=n_experts)
 
     return MoEModules(
@@ -127,7 +137,7 @@ def build_moe(cfg) -> MoEModules:
         discriminator=discriminator,
         aux_reg=aux_reg,
         router=router,
-        generator_single=gen_cls(noise_dim=noise_dim, cond_dim=cond_dim),
+        generator_single=gen_cls(noise_dim=noise_dim, cond_dim=cond_dim, **gen_extra),
         n_experts=n_experts,
         noise_dim=noise_dim,
         cond_dim=cond_dim,

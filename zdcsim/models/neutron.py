@@ -37,8 +37,19 @@ class GeneratorNeutron(nn.Module):
     noise_dim: int = 10
     cond_dim: int = 9
     bn_axis_name: Optional[str] = None  # set to the mesh data axis for synced BN
+    norm: str = "batch"  # "batch" (reference parity) or "group" (see _bn)
 
     def _bn(self, x, train):
+        # model.norm=group swaps BatchNorm for batch-independent GroupNorm /
+        # LayerNorm. Rationale (documented divergence): the dense
+        # all-expert train step computes BN batch statistics over the FULL
+        # batch, not each expert's routed sub-batch as the reference does —
+        # group norm has no batch statistics, so the dense step is exactly
+        # per-expert faithful, deterministic, and needs no cross-device sync.
+        if self.norm == "group":
+            if x.ndim == 4:
+                return GroupNorm2d(x.shape[-1])(x)
+            return nn.LayerNorm()(x)
         return nn.BatchNorm(
             use_running_average=not train, axis_name=self.bn_axis_name, momentum=0.9
         )(x)
@@ -129,8 +140,13 @@ class AuxRegNeutron(nn.Module):
 
     output_dim: int = 2
     bn_axis_name: Optional[str] = None
+    norm: str = "batch"  # "batch" (reference parity) or "group" (see GeneratorNeutron._bn)
 
     def _bn(self, x, train):
+        if self.norm == "group":
+            if x.ndim == 4:
+                return GroupNorm2d(x.shape[-1])(x)
+            return nn.LayerNorm()(x)
         return nn.BatchNorm(
             use_running_average=not train, axis_name=self.bn_axis_name, momentum=0.9
         )(x)

@@ -42,6 +42,20 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
         # keeps eval under ~8 GB on a 16 GB chip (4096 OOMed in practice).
         chunk_size = int(cfg.get("eval", {}).get("chunk_size", 1024)) if "eval" in cfg else 1024
     sample_routing = bool(cfg.get("eval", {}).get("sample_routing", False)) if "eval" in cfg else False
+    # Flag-gated Pallas fused expm1+channel-sum epilogue (one HBM pass, no
+    # linear-space image materialization); default keeps the XLA path, which
+    # already fuses these elementwise ops into the surrounding program.
+    fused_epilogue = (
+        bool(cfg.get("eval", {}).get("fused_epilogue", False)) if "eval" in cfg else False
+    )
+
+    def channels_of_log(img_log):
+        """[B, H, W] log-space showers -> [B, 5] linear channel sums."""
+        if fused_epilogue:
+            from zdcsim.ops.pallas_kernels import expm1_channel_sums
+
+            return expm1_channel_sums(img_log)
+        return sum_channels(jnp.expm1(img_log))
 
     router_mod, gen_mod = modules.router, modules.generator
 
@@ -97,7 +111,7 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
             sel = jnp.take_along_axis(
                 imgs, idx[None, :, None, None, None], axis=0
             )[0, ..., 0]
-        return sum_channels(jnp.expm1(sel))  # [B, 5]
+        return channels_of_log(sel)  # [B, 5]
 
     def _apply_gen(gen_params, gen_stats, noise, cond):
         variables = {"params": gen_params, **gen_stats}
@@ -109,7 +123,7 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
 
     @jax.jit
     def real_channels(real):
-        return sum_channels(jnp.expm1(real[..., 0] if real.ndim == 4 else real))
+        return channels_of_log(real[..., 0] if real.ndim == 4 else real)
 
     @functools.partial(jax.jit, static_argnames=())
     def ws_all(ch_org, ch_gen, idx):
@@ -137,8 +151,18 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
         train/utils.py:299-310)."""
         cond = test_arrays["cond"]
         real = test_arrays["real"]
-        n = (cond.shape[0] // chunk_size) * chunk_size or cond.shape[0]
-        cond, real = cond[:n], real[:n]
+        n_true = cond.shape[0]
+        # Pad the final partial chunk up to chunk_size (repeat the first rows)
+        # so every chunk compiles to ONE static shape, then trim the channel
+        # sums back to n_true — the WS metric covers the FULL test set (the
+        # previous floor-truncation silently dropped up to chunk_size-1
+        # samples; the reference evaluates everything).
+        if n_true > chunk_size and n_true % chunk_size != 0:
+            pad = chunk_size - (n_true % chunk_size)
+            reps = int(np.ceil(pad / n_true))
+            cond = jnp.concatenate([cond] + [cond[: max(1, pad)]] * reps)[: n_true + pad]
+            real = jnp.concatenate([real] + [real[: max(1, pad)]] * reps)[: n_true + pad]
+        n = cond.shape[0]
         n_calc = int(min(epoch // 5 + 1, 5))
 
         k_route, key = jax.random.split(key)
@@ -152,7 +176,7 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
             )
             org_parts.append(real_channels(real[sl]))
         idx = jnp.concatenate(idx_parts)
-        ch_org = jnp.concatenate(org_parts)
+        ch_org = jnp.concatenate(org_parts)[:n_true]
 
         ws_runs = np.zeros((n_calc, 5))
         ws_exp_runs = np.zeros((n_calc, E, 5))
@@ -165,14 +189,16 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
                 gen_parts.append(
                     gen_chunk(state.gen.params, state.gen.stats, cond[sl], idx[sl], kc)
                 )
-            ch_gen = jnp.concatenate(gen_parts)
-            overall, per_exp = ws_all(ch_org, ch_gen, idx)
+            ch_gen = jnp.concatenate(gen_parts)[:n_true]
+            overall, per_exp = ws_all(ch_org, ch_gen, idx[:n_true])
             ws_runs[j] = np.asarray(overall)
             ws_exp_runs[j] = np.asarray(per_exp)
 
         ws_by_run = ws_runs.mean(axis=1)  # [n_calc]
         ws_exp_by_run = ws_exp_runs.mean(axis=2)  # [n_calc, E]
-        counts = np.asarray(jnp.sum(idx[None, :] == jnp.arange(E)[:, None], axis=1))
+        counts = np.asarray(
+            jnp.sum(idx[:n_true][None, :] == jnp.arange(E)[:, None], axis=1)
+        )
         metrics = {
             "ws_mean": float(ws_by_run.mean()),
             "ws_std": float(ws_by_run.std()),
@@ -181,10 +207,12 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
             "eval_expert_counts": counts,
             "epoch": epoch,
         }
-        if expert_labels is not None and len(np.unique(np.asarray(expert_labels)[:n])) > 1:
+        if expert_labels is not None and len(np.unique(np.asarray(expert_labels)[:n_true])) > 1:
             from zdcsim.evals.router_metrics import router_classification_metrics
 
-            cls = router_classification_metrics(np.asarray(idx), np.asarray(expert_labels)[:n], E)
+            cls = router_classification_metrics(
+                np.asarray(idx[:n_true]), np.asarray(expert_labels)[:n_true], E
+            )
             metrics.update({f"router_{k}": v for k, v in cls.items()})
         return metrics
 

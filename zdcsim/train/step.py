@@ -34,6 +34,15 @@ Documented divergences from the reference:
 - Spectral-norm power iteration advances once per forward like torch, but
   the exact iteration count per step differs by construction; both converge
   to the dominant singular vector.
+- BatchNorm (neutron family only): the dense all-expert forward computes BN
+  batch statistics (and running-stat updates) over the FULL batch B, not
+  each expert's routed sub-batch B_e as the reference's subset forwards do —
+  so the "numerically identical" masked-loss equivalence above holds exactly
+  for batch-independent layers (all proton layers, neutron GroupNorm mode)
+  but NOT for neutron BatchNorm activations. Set ``model.norm: group`` to
+  restore exact per-expert semantics (and deterministic, sync-free layers);
+  ``batch`` keeps the reference's layer type with this documented statistics
+  divergence.
 """
 
 from __future__ import annotations
