@@ -203,6 +203,23 @@ def test_evaluator_switch_matches_dense(setup):
     np.testing.assert_allclose(m_s["ws_mean_exp"], m_d["ws_mean_exp"], rtol=1e-5)
 
 
+def test_evaluator_normalized_fidelity_metrics(setup):
+    """ws_mean_rel (scale-normalized W1) and ws_real_floor (real-vs-real
+    finite-sample floor) make fidelity comparable across datasets."""
+    cfg, modules, state = setup
+    n = 128
+    test_arrays = {
+        "real": jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (n, *SHAPE, 1))),
+        "cond": jax.random.normal(jax.random.PRNGKey(2), (n, 9)),
+    }
+    evaluator = build_evaluator(modules, cfg, chunk_size=64)
+    m = evaluator(state, test_arrays, epoch=0, key=jax.random.PRNGKey(3))
+    assert m["ws_mean_rel"] > 0 and np.isfinite(m["ws_mean_rel"])
+    assert m["ws_real_floor"] >= 0 and np.isfinite(m["ws_real_floor"])
+    # the floor is a property of the data only — far below an untrained model
+    assert m["ws_real_floor"] < m["ws_mean"]
+
+
 def test_evaluator_covers_full_test_set(setup):
     """A test set that is not a multiple of chunk_size must still be fully
     evaluated (the final partial chunk is padded, not dropped)."""
@@ -258,6 +275,21 @@ def test_evaluator_fused_epilogue_matches_xla(setup):
     m_p = ev_pl(state, test_arrays, epoch=0, key=jax.random.PRNGKey(3))
     np.testing.assert_allclose(m_p["ws_mean"], m_x["ws_mean"], rtol=1e-5)
     np.testing.assert_allclose(m_p["ws_mean_exp"], m_x["ws_mean_exp"], rtol=1e-5)
+
+
+def test_fastsim_bulk_matches_switch(setup):
+    """simulate_bulk (one lax.scan program) must reproduce simulate_switch
+    (per-chunk dispatch) bit-for-bit — same per-chunk key derivation."""
+    from zdcsim.inference import FastSim
+
+    cfg, modules, state = setup
+    engine = FastSim.from_state(modules, state, batch_size=32)
+    cond = np.random.default_rng(9).normal(size=(80, 9)).astype(np.float32)
+    key = jax.random.PRNGKey(4)
+    sw, idx_s = engine.simulate_switch(cond, key, return_experts=True)
+    bk, idx_b = engine.simulate_bulk(cond, key, return_experts=True)
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_b))
+    np.testing.assert_allclose(np.asarray(sw), np.asarray(bk), rtol=1e-6, atol=1e-6)
 
 
 def test_fastsim_switch_odd_batch(setup):

@@ -49,7 +49,10 @@ class FastSim:
             switch/grouped/stream paths, 2048 for the dense all-expert path
             (dense 8192 at E=3 f32 OOMs a 16 GB chip — measured; an explicit
             batch_size applies to every path unchecked).
-        precision: "f32" or "bf16" (decode in bfloat16, outputs float32).
+        precision: "f32", "bf16" (decode in bfloat16, outputs float32), or
+            "int8" (bf16 base + the two dominant proton convs on the int8
+            MXU path — measured 1.8x conv throughput on v5e; requires the
+            fast proton path, falls back to bf16 otherwise).
         scaler_cond: optional StandardScaler to standardize raw kinematics.
         mesh: optional jax Mesh — batch shards over its 'data' axis.
     """
@@ -79,8 +82,9 @@ class FastSim:
         self._mesh = mesh
         h, w = modules.image_shape
         self.image_shape = (h, w)
-        dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        dtype = jnp.bfloat16 if precision in ("bf16", "int8") else jnp.float32
         self._dtype = dtype
+        self._int8 = precision == "int8" and fast and modules.names.get("generator") == "Generator"
 
         gen_params = _cast_tree(gen_params, dtype)
         gen_stats = _cast_tree(gen_stats, dtype)
@@ -114,9 +118,10 @@ class FastSim:
             if use_fast:
                 from zdcsim.models.proton_fast import fast_generator_apply
 
-                imgs = jax.vmap(fast_generator_apply, in_axes=(0, None, None))(
-                    gp, noise, cond.astype(dtype)
-                )
+                imgs = jax.vmap(
+                    lambda p, z, c: fast_generator_apply(p, z, c, int8=self._int8),
+                    in_axes=(0, None, None),
+                )(gp, noise, cond.astype(dtype))
             else:
                 variables = {"params": gp, **gs}
                 mutable = list(gs.keys())
@@ -163,11 +168,13 @@ class FastSim:
         noise_dim = self.noise_dim
         mesh = self._mesh
 
+        int8 = self._int8
+
         def make_decoder(gp, gs, e):
             def decode(z, c):
                 gp_e = jax.tree_util.tree_map(lambda p: p[e], gp)
                 if use_fast:
-                    img = fast_generator_apply(gp_e, z, c.astype(dtype))
+                    img = fast_generator_apply(gp_e, z, c.astype(dtype), int8=int8)
                 else:
                     gs_e = jax.tree_util.tree_map(lambda p: p[e], gs)
                     img = gen_single.apply({"params": gp_e, **gs_e}, z, c.astype(dtype), False)
@@ -213,6 +220,7 @@ class FastSim:
             )
             return decode(gp, gs, idx, cond, noise), idx
 
+        self._sim_switch_fn = sim_switch
         if mesh is None:
             self._sim_switch = jax.jit(sim_switch)
         else:
@@ -244,6 +252,78 @@ class FastSim:
         if return_experts:
             return images, (jnp.concatenate(idxs) if len(idxs) > 1 else idxs[0])
         return images
+
+    def simulate_bulk(self, cond, key: jax.Array, return_experts: bool = False):
+        """Bulk workload serving: ALL chunks in ONE XLA program.
+
+        ``lax.scan`` over ``batch_size`` chunks of the tiled-switch decode —
+        one dispatch + one readback for the whole workload, vs one per chunk
+        in :meth:`simulate_switch`. On a remote-relay link each dispatch
+        costs ~26 ms (measured, experiments/perf_study2_r2.py), which at
+        B=4096 is ~20% of the decode itself; production bulk generation
+        (the reference's actual use case: simulate millions of showers for
+        analysis) should never pay it per chunk.
+        """
+        if not hasattr(self, "_sim_switch"):
+            self._build_switch()
+        cond = jnp.asarray(cond, jnp.float32)
+        n = cond.shape[0]
+        bs = self.batch_size
+        pad = (-n) % bs
+        if pad:
+            cond = jnp.concatenate([cond, jnp.zeros((pad, cond.shape[1]), cond.dtype)])
+        chunks = cond.shape[0] // bs
+        cache = getattr(self, "_sim_bulk_cache", {})
+        if chunks not in cache:
+            inner = self._sim_switch_fn
+
+            def bulk(weights, cond_c, k0):
+                bs_ = cond_c.shape[1]
+
+                def body(_, inp):
+                    c, i = inp
+                    # same per-chunk key derivation as simulate_switch
+                    # (fold by start offset) -> bit-identical outputs
+                    img, idx = inner(weights, c, jax.random.fold_in(k0, i * bs_))
+                    return None, (img, idx)
+
+                _, (imgs, idxs) = jax.lax.scan(
+                    body, None, (cond_c, jnp.arange(cond_c.shape[0]))
+                )
+                return imgs, idxs
+
+            cache[chunks] = jax.jit(bulk)
+            self._sim_bulk_cache = cache
+        imgs, idxs = cache[chunks](
+            self._weights, cond.reshape(chunks, bs, -1), key
+        )
+        h, w = self.image_shape
+        imgs = imgs.reshape(chunks * bs, h, w)[:n]
+        if return_experts:
+            return imgs, idxs.reshape(chunks * bs)[:n]
+        return imgs
+
+    def throughput_bulk(self, n_showers: int = 65536, warmup: bool = True, key=None):
+        """Steady-state bulk-serving throughput (one program per workload)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        cond = jax.random.normal(
+            jax.random.fold_in(key, 1), (n_showers, self.modules.cond_dim)
+        )
+        if warmup:
+            out = self.simulate_bulk(cond, jax.random.fold_in(key, 2))
+            float(out.sum())  # force compile+execute
+        t0 = time.perf_counter()
+        out = self.simulate_bulk(cond, jax.random.fold_in(key, 3))
+        # scalar readback forces execution (block_until_ready lies over the
+        # tunnel); one extra dispatch amortized over the whole workload
+        float(out.sum())
+        dt = time.perf_counter() - t0
+        return {
+            "showers_per_sec": n_showers / dt,
+            "batch_size": float(self.batch_size),
+            "seconds": dt,
+            "n_showers": float(n_showers),
+        }
 
     def throughput_switch(self, n_batches: int = 20, warmup: int = 3, key=None):
         """Steady-state tiled-switch throughput (scalar readback per batch)."""

@@ -21,12 +21,13 @@ is asserted by ``tests/test_proton_fast.py`` to float tolerance.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 
-from zdcsim.models.layers import group_norm_groups, resize_nearest  # noqa: F401 (resize kept for API users)
+from zdcsim.models.layers import group_norm_groups, resize_nearest, upsample_nearest
 
 
 def _conv(x, k, pad):
@@ -52,11 +53,20 @@ def _interleave(even: jnp.ndarray, odd: jnp.ndarray, axis: int) -> jnp.ndarray:
     return out[tuple(index)]
 
 
+@jax.custom_vjp
 def fused_upsample2_conv4(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
     """``conv4x4(pad1, nearest_up2(x))`` without materializing the upsample.
 
     x: [B, H, W, Cin]; kernel: [4, 4, Cin, Cout] (HWIO); returns
     [B, 2H-1, 2W-1, Cout] — identical to the naive path.
+
+    Custom VJP: the forward runs the FLOP-reduced phase decomposition; the
+    backward differentiates the mathematically identical naive
+    ``conv(pad, up2(x))`` form instead — XLA's standard conv gradients.
+    Autodiff of the phase form transposes four padded interleaves, whose HLO
+    temporaries OOM a 16 GB chip at B=512 (the round-1 'fast_generator is
+    inference-only' limitation); the naive-form backward has the module
+    path's memory profile, making ``train.fast_generator=true`` trainable.
     """
     w = kernel
     k_er = jnp.stack([w[0], w[1] + w[2], w[3]])  # even-row: 3 taps
@@ -79,6 +89,27 @@ def fused_upsample2_conv4(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray
     rows_odd = _interleave(y_oe, y_oo, axis=2)  # [B, H-1, 2W-1]
     out = _interleave(rows_even, rows_odd, axis=1)  # [B, 2H-1, 2W-1]
     return out + bias
+
+
+def _fused_up_fwd(x, kernel, bias):
+    return fused_upsample2_conv4(x, kernel, bias), (x, kernel)
+
+
+def _fused_up_bwd(res, g):
+    x, kernel = res
+
+    def naive(x_, k_):
+        return _conv(
+            jnp.pad(upsample_nearest(x_), ((0, 0), (1, 1), (1, 1), (0, 0))),
+            k_, ((0, 0), (0, 0)),
+        )
+
+    _, vjp = jax.vjp(naive, x, kernel)
+    dx, dk = vjp(g)
+    return dx, dk, jnp.sum(g, axis=(0, 1, 2))
+
+
+fused_upsample2_conv4.defvjp(_fused_up_fwd, _fused_up_bwd)
 
 
 def _row_phase_plan(n_in: int, n_out: int, ksize: int, pad: int):
@@ -122,6 +153,7 @@ def _row_phase_plan(n_in: int, n_out: int, ksize: int, pad: int):
     return q, p_num, plans
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_row_resize_conv4(
     x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, n_resized_rows: int, n_cols: int
 ) -> jnp.ndarray:
@@ -129,6 +161,9 @@ def fused_row_resize_conv4(
     ROW duplication folded into per-phase strided convs (columns still resize
     normally). For the proton generator's 35x19 -> 56x30 resize + Conv_1 this
     cuts the row taps from 4 to ~2.9 on average — exact same output.
+
+    Custom VJP: backward differentiates the naive resize+conv form (see
+    fused_upsample2_conv4 — same trainability rationale).
     """
     import numpy as np
 
@@ -167,6 +202,140 @@ def fused_row_resize_conv4(
     return out[:, :n_out_rows] + bias
 
 
+def _fused_rr_fwd(x, kernel, bias, n_resized_rows, n_cols):
+    return fused_row_resize_conv4(x, kernel, bias, n_resized_rows, n_cols), (x, kernel)
+
+
+def _fused_rr_bwd(n_resized_rows, n_cols, res, g):
+    x, kernel = res
+
+    def naive(x_, k_):
+        return _conv(
+            resize_nearest(x_, (n_resized_rows, n_cols)), k_, ((1, 1), (1, 1))
+        )
+
+    _, vjp = jax.vjp(naive, x, kernel)
+    dx, dk = vjp(g)
+    return dx, dk, jnp.sum(g, axis=(0, 1, 2))
+
+
+fused_row_resize_conv4.defvjp(_fused_rr_fwd, _fused_rr_bwd)
+
+
+def _quant_per_cout(k: jnp.ndarray):
+    """Per-output-channel symmetric int8 quantization of an HWIO kernel.
+
+    Returns ``(q, s)`` with ``k ~= q * s`` and ``s`` shaped ``[cout]``.
+    """
+    s = jnp.max(jnp.abs(k.astype(jnp.float32)), axis=tuple(range(k.ndim - 1))) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(k.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _quant_act(x: jnp.ndarray):
+    """Dynamic per-tensor symmetric int8 quantization of activations."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _conv_i8(x, k, pad):
+    return jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def fused_upsample2_conv4_int8(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray
+) -> jnp.ndarray:
+    """int8 MXU variant of :func:`fused_upsample2_conv4`.
+
+    The four parity-phase kernels are quantized per output channel; the
+    activation gets one dynamic per-tensor scale. v5e int8 conv throughput
+    measured 1.8x bf16 (experiments/perf_study2_r2.py) — this halves the
+    dominant decode cost at serving time. Weight quantization happens inline
+    (tiny tensors; loop-invariant, XLA hoists it out of bulk scan loops).
+    """
+    w = kernel
+    k_er = jnp.stack([w[0], w[1] + w[2], w[3]])
+    k_or = jnp.stack([w[0] + w[1], w[2] + w[3]])
+
+    def split_cols(k):
+        ke = jnp.stack([k[:, 0], k[:, 1] + k[:, 2], k[:, 3]], axis=1)
+        ko = jnp.stack([k[:, 0] + k[:, 1], k[:, 2] + k[:, 3]], axis=1)
+        return ke, ko
+
+    k_ee, k_eo = split_cols(k_er)
+    k_oe, k_oo = split_cols(k_or)
+
+    xq, sx = _quant_act(x)
+
+    def qconv(k, pad):
+        kq, sk = _quant_per_cout(k)
+        y = _conv_i8(xq, kq, pad)
+        return y.astype(jnp.float32) * (sk * sx)
+
+    y_ee = qconv(k_ee, ((1, 1), (1, 1)))
+    y_eo = qconv(k_eo, ((1, 1), (0, 0)))
+    y_oe = qconv(k_oe, ((0, 0), (1, 1)))
+    y_oo = qconv(k_oo, ((0, 0), (0, 0)))
+
+    rows_even = _interleave(y_ee, y_eo, axis=2)
+    rows_odd = _interleave(y_oe, y_oo, axis=2)
+    out = _interleave(rows_even, rows_odd, axis=1)
+    # back to the caller's compute dtype (bf16 serving): GN follows, so the
+    # f32 dequant precision is not load-bearing past this point
+    return (out + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def fused_row_resize_conv4_int8(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, n_resized_rows: int, n_cols: int
+) -> jnp.ndarray:
+    """int8 MXU variant of :func:`fused_row_resize_conv4` (same phase plan,
+    quantized per-phase kernels, one dynamic activation scale)."""
+    import numpy as np
+
+    b, h_in, w_in, cin = x.shape
+    col_map = np.floor((np.arange(n_cols) + 0.5) * w_in / n_cols).astype(int)
+    xc = x[:, :, col_map, :]
+    xq, sx = _quant_act(xc)
+
+    q, p_num, plans = _row_phase_plan(h_in, n_resized_rows, 4, 1)
+    n_out_rows = n_resized_rows - 1
+    w = kernel
+
+    phase_outs = []
+    max_n = max(n for _, _, n in plans)
+    for d0, groups, n_phase in plans:
+        k_p = jnp.stack([sum(w[a] for a in taps) for _, taps in groups])
+        kq, sk = _quant_per_cout(k_p)
+        L = kq.shape[0]
+        pad_t = max(-d0, 0)
+        start = max(d0, 0)
+        avail = h_in - start
+        span = p_num * (n_phase - 1) + L
+        pad_b = max(0, span - pad_t - avail)
+        xp = xq[:, start:, :, :]
+        y = jax.lax.conv_general_dilated(
+            jnp.pad(xp, ((0, 0), (pad_t, pad_b), (0, 0), (0, 0))),
+            kq, window_strides=(p_num, 1), padding=((0, 0), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )[:, :n_phase]
+        y = y.astype(jnp.float32) * (sk * sx)
+        if n_phase < max_n:
+            y = jnp.pad(y, ((0, 0), (0, max_n - n_phase), (0, 0), (0, 0)))
+        phase_outs.append(y)
+
+    stacked = jnp.stack(phase_outs, axis=2)
+    out = stacked.reshape(b, max_n * q, stacked.shape[3], stacked.shape[4])
+    return (out[:, :n_out_rows] + bias.astype(jnp.float32)).astype(x.dtype)
+
+
 def _leaky(x):
     return jax.nn.leaky_relu(x, negative_slope=0.1)
 
@@ -187,9 +356,19 @@ def _group_norm(x, p, channels):
     return xg.reshape(b, h, w, c) * p["scale"] + p["bias"]
 
 
-def fast_generator_apply(params: Any, noise: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+def fast_generator_apply(
+    params: Any, noise: jnp.ndarray, cond: jnp.ndarray, int8: bool = False
+) -> jnp.ndarray:
     """Inference forward of ``zdcsim.models.proton.Generator`` with the fused
-    upsample+conv rewrite, from the unmodified parameter tree."""
+    upsample+conv rewrite, from the unmodified parameter tree.
+
+    ``int8=True`` runs the two dominant convs (Conv_0/Conv_1 — ~88% of the
+    decode FLOPs) on the int8 MXU path (per-channel weight scales, dynamic
+    per-tensor activation scale; measured 1.8x conv throughput on v5e). The
+    following GroupNorms renormalize scale, so the quantization error that
+    survives is shape noise only — fidelity impact is measured in
+    BENCH_LOG.md before this is used for any physics claim.
+    """
     p = params
     x = jnp.concatenate([noise, cond], axis=1)
     for blk in ("MLPBlock_0", "MLPBlock_1"):
@@ -200,13 +379,19 @@ def fast_generator_apply(params: Any, noise: jnp.ndarray, cond: jnp.ndarray) -> 
     x = x.reshape(-1, 18, 10, 512)
 
     # upsample x2 + Conv_0 4x4 pad1 -> fused parity convs (35x19x256)
-    x = fused_upsample2_conv4(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
+    if int8:
+        x = fused_upsample2_conv4_int8(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
+    else:
+        x = fused_upsample2_conv4(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
     x = _group_norm(x, p["GroupNorm2d_0"]["GroupNorm_0"], 256)
     x = _leaky(x)
 
     # resize to 56x30 + Conv_1 4x4 pad1 -> row-duplication folded into
     # per-phase strided convs (55x29x128)
-    x = fused_row_resize_conv4(x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30)
+    if int8:
+        x = fused_row_resize_conv4_int8(x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30)
+    else:
+        x = fused_row_resize_conv4(x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30)
     x = _group_norm(x, p["GroupNorm2d_1"]["GroupNorm_0"], 128)
     x = _leaky(x)
 

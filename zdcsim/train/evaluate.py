@@ -199,11 +199,26 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
         counts = np.asarray(
             jnp.sum(idx[:n_true][None, :] == jnp.arange(E)[:, None], axis=1)
         )
+        # Scale-normalized fidelity (raw W1 is in photons and means nothing
+        # across datasets): ws_mean_rel = W1 / mean real channel sum, and the
+        # finite-sample floor = real-vs-real W1 between two halves of the
+        # test set — a trained model is "good" when ws_mean approaches
+        # ws_real_floor, whatever the dataset's photon scale.
+        scale = float(jnp.mean(ch_org))
+        half = n_true // 2
+        if half >= 8:
+            floor = float(jnp.mean(
+                wasserstein_per_channel(ch_org[:half], ch_org[half: 2 * half])
+            ))
+        else:
+            floor = float("nan")
         metrics = {
             "ws_mean": float(ws_by_run.mean()),
             "ws_std": float(ws_by_run.std()),
             "ws_mean_exp": ws_exp_by_run.mean(axis=0),
             "ws_std_exp": ws_exp_by_run.std(axis=0),
+            "ws_mean_rel": float(ws_by_run.mean()) / scale if scale > 0 else float("nan"),
+            "ws_real_floor": floor,
             "eval_expert_counts": counts,
             "epoch": epoch,
         }
