@@ -31,19 +31,29 @@ def main() -> int:
     modules = build_moe(cfg)
     state = init_state_jit(modules, cfg, jax.random.PRNGKey(0))
 
-    # Primary path: on-device tiled-switch dispatch at B=4096/tile=64 —
-    # best measured config (24.5k showers/s vs 6.6k dense on v5e; see
-    # zdcsim/inference/switch_dispatch.py). Falls back to dense decode at
-    # B=1024 (the dense memory sweet spot: 8192 OOMs 16 GB HBM).
-    try:
-        engine = FastSim.from_state(
-            modules, state, use_ema=False, batch_size=4096, precision="bf16"
-        )
-        engine._build_switch(tile=64)
-        stats = engine.throughput_switch(n_batches=12, warmup=3)
-    except Exception as e:  # noqa: BLE001 — bench must always print a number
-        print(f"switch-dispatch bench failed ({type(e).__name__}); dense fallback",
-              file=sys.stderr)
+    # Primary path: BULK tiled-switch serving (whole workload in one lax.scan
+    # program — per-chunk dispatch RTT never paid) with int8 MXU convs on the
+    # two dominant generator layers (1.8x conv throughput vs bf16 measured on
+    # v5e; WS fidelity delta vs bf16 gated in BENCH_LOG.md). Best measured:
+    # B=8192, tile=64 (experiments/perf_serve_r2.py). Fallbacks: bulk bf16,
+    # then per-call switch bf16, then dense.
+    stats = None
+    for precision, batch, bulk in (("int8", 8192, True), ("bf16", 8192, True),
+                                   ("bf16", 4096, False)):
+        try:
+            engine = FastSim.from_state(
+                modules, state, use_ema=False, batch_size=batch, precision=precision
+            )
+            engine._build_switch(tile=64)
+            if bulk:
+                stats = engine.throughput_bulk(n_showers=65536)
+            else:
+                stats = engine.throughput_switch(n_batches=12, warmup=3)
+            break
+        except Exception as e:  # noqa: BLE001 — bench must always print a number
+            print(f"{precision} bulk={bulk} bench failed ({type(e).__name__}); "
+                  "falling back", file=sys.stderr)
+    if stats is None:
         engine = FastSim.from_state(
             modules, state, use_ema=False, batch_size=1024, precision="bf16"
         )

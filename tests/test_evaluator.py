@@ -164,6 +164,46 @@ def test_checkpoint_saver_threshold(setup, tmp_path):
     assert saver.saved_epochs == [1]
 
 
+def test_checkpoint_saver_keep_best(setup, tmp_path):
+    """keep_best retains only the k lowest-WS checkpoints on disk."""
+    import os
+
+    from zdcsim.train.checkpoint import CKPT_PREFIX
+    from zdcsim.train.hooks import CheckpointSaver
+
+    cfg, modules, state = setup
+    d = str(tmp_path / "m")
+    saver = CheckpointSaver(d, ws_threshold=100.0, keep_best=2)
+    saver.on_epoch_end(0, {"ws_mean": 50.0}, state)
+    saver.on_epoch_end(1, {"ws_mean": 30.0}, state)
+    saver.on_epoch_end(2, {"ws_mean": 40.0}, state)  # evicts epoch 0 (ws=50)
+    saver.on_train_end([])
+    on_disk = sorted(
+        int(n[len(CKPT_PREFIX):]) for n in os.listdir(d) if n.startswith(CKPT_PREFIX)
+    )
+    assert on_disk == [1, 2]
+
+
+def test_checkpoint_saver_async_roundtrip(setup, tmp_path):
+    """Async saves land on disk after close() and restore identically."""
+    import numpy as _np
+
+    from zdcsim.train.checkpoint import restore_checkpoint
+    from zdcsim.train.hooks import CheckpointSaver
+    from zdcsim.train.state import init_state
+
+    cfg, modules, state = setup
+    d = str(tmp_path / "m")
+    saver = CheckpointSaver(d, ws_threshold=100.0, use_async=True)
+    saver.on_epoch_end(3, {"ws_mean": 10.0}, state)
+    saver.on_train_end([])
+    template = init_state(modules, cfg, jax.random.PRNGKey(9))
+    restored = restore_checkpoint(d, 3, template)
+    a = jax.tree_util.tree_leaves(state.gen.params)[0]
+    b = jax.tree_util.tree_leaves(restored.gen.params)[0]
+    _np.testing.assert_array_equal(_np.asarray(a), _np.asarray(b))
+
+
 def test_evaluator_router_classification(setup):
     cfg, modules, state = setup
     n = 64

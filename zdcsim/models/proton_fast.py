@@ -371,6 +371,8 @@ def fast_generator_apply(
     """
     p = params
     x = jnp.concatenate([noise, cond], axis=1)
+    # MLP stays bf16: its cost is the 92160-wide LayerNorm traffic, not the
+    # matmul — int8-ing it measured neutral-to-negative (BENCH_LOG round 2).
     for blk in ("MLPBlock_0", "MLPBlock_1"):
         bp = p[blk]
         x = x @ bp["Dense_0"]["kernel"] + bp["Dense_0"]["bias"]

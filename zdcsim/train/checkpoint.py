@@ -35,6 +35,39 @@ def save_checkpoint(dir_models: str, epoch: int, state: MoETrainState) -> str:
     return path
 
 
+class AsyncSaver:
+    """Async Orbax saves: device->host copy happens synchronously inside
+    ``save`` (so the train loop may immediately donate/overwrite the state),
+    disk writes proceed in a background thread. The reference blocks training
+    for every whole-object ``torch.save`` (training_utils.py:316-378)."""
+
+    def __init__(self):
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(self, dir_models: str, epoch: int, state: MoETrainState) -> str:
+        path = checkpoint_dir(dir_models, epoch)
+        # Wait for any in-flight save first: one background write at a time
+        # keeps disk/host memory bounded.
+        self._ckptr.wait_until_finished()
+        self._ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+        return path
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self._ckptr.wait_until_finished()
+        self._ckptr.close()
+
+
+def delete_checkpoint(dir_models: str, epoch: int) -> None:
+    import shutil
+
+    path = checkpoint_dir(dir_models, epoch)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+
 def restore_checkpoint(dir_models: str, epoch: int, template: MoETrainState) -> MoETrainState:
     """Restore into the shape/dtype structure of ``template`` (a freshly
     initialized state from the same config)."""

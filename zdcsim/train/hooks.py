@@ -138,23 +138,60 @@ class WandBLogger(Callback):
 
 class CheckpointSaver(Callback):
     """Persist the full train state when the WS metric beats the threshold
-    (reference hooks.py:115-130: ``ws_mean < ws_threshold_model_save``)."""
+    (reference hooks.py:115-130: ``ws_mean < ws_threshold_model_save``).
 
-    def __init__(self, dir_models: Optional[str], ws_threshold: float):
+    ``keep_best`` retains only the k checkpoints with the lowest ws_mean
+    (the rest are deleted as better ones land); ``use_async`` saves via
+    Orbax's async checkpointer — the loop resumes as soon as device->host
+    copies finish, disk writes happen in the background.
+    """
+
+    def __init__(
+        self,
+        dir_models: Optional[str],
+        ws_threshold: float,
+        keep_best: Optional[int] = None,
+        use_async: bool = False,
+    ):
         self.dir_models = dir_models
         self.ws_threshold = float(ws_threshold)
+        self.keep_best = int(keep_best) if keep_best else None
         self.saved_epochs: List[int] = []
+        self._saved_ws: List[tuple] = []  # (ws, epoch) of checkpoints on disk
+        self._async = None
+        if use_async and dir_models is not None:
+            from zdcsim.train.checkpoint import AsyncSaver
+
+            self._async = AsyncSaver()
 
     def on_epoch_end(self, epoch, metrics, state):
         if self.dir_models is None:
             return
         ws = metrics.get("ws_mean")
-        if ws is not None and float(ws) < self.ws_threshold:
-            from zdcsim.train.checkpoint import save_checkpoint
+        if ws is None or float(ws) >= self.ws_threshold:
+            return
+        from zdcsim.train.checkpoint import delete_checkpoint, save_checkpoint
 
+        if self._async is not None:
+            path = self._async.save(self.dir_models, epoch, state)
+        else:
             path = save_checkpoint(self.dir_models, epoch, state)
-            self.saved_epochs.append(epoch)
-            log.info("Saved checkpoint (ws_mean=%.3f < %.1f): %s", ws, self.ws_threshold, path)
+        self.saved_epochs.append(epoch)
+        self._saved_ws.append((float(ws), epoch))
+        log.info("Saved checkpoint (ws_mean=%.3f < %.1f)%s: %s", ws, self.ws_threshold,
+                 " [async]" if self._async else "", path)
+        if self.keep_best is not None and len(self._saved_ws) > self.keep_best:
+            worst = max(self._saved_ws, key=lambda t: t[0])
+            self._saved_ws.remove(worst)
+            if self._async is not None:
+                self._async.wait()  # never delete under an in-flight write
+            delete_checkpoint(self.dir_models, worst[1])
+            log.info("Dropped checkpoint epoch %d (ws=%.3f, keep_best=%d)",
+                     worst[1], worst[0], self.keep_best)
+
+    def on_train_end(self, history):
+        if self._async is not None:
+            self._async.close()
 
 
 class TrainingCurvePlotter(Callback):
@@ -224,6 +261,11 @@ def setup_callbacks(cfg, dir_models: Optional[str]) -> CallbackList:
         ConsoleLogger(),
         MetricsTracker(),
         WandBLogger(cfg),
-        CheckpointSaver(dir_models, cfg.train.ws_threshold_model_save),
+        CheckpointSaver(
+            dir_models,
+            cfg.train.ws_threshold_model_save,
+            keep_best=cfg.train.get("checkpoint_keep_best"),
+            use_async=bool(cfg.train.get("async_checkpointing", False)),
+        ),
         TrainingCurvePlotter(plots_dir, plots_enabled),
     ])
