@@ -38,15 +38,15 @@ def main() -> int:
     # B=8192, tile=64 (experiments/perf_serve_r2.py). Fallbacks: bulk bf16,
     # then per-call switch bf16, then dense.
     stats = None
-    for precision, batch, bulk in (("int8", 8192, True), ("bf16", 8192, True),
-                                   ("bf16", 4096, False)):
+    for precision, batch, bulk in (("int8", 32768, True), ("int8", 8192, True),
+                                   ("bf16", 8192, True), ("bf16", 4096, False)):
         try:
             engine = FastSim.from_state(
                 modules, state, use_ema=False, batch_size=batch, precision=precision
             )
             engine._build_switch(tile=64)
             if bulk:
-                stats = engine.throughput_bulk(n_showers=65536)
+                stats = engine.throughput_bulk(n_showers=131072)
             else:
                 stats = engine.throughput_switch(n_batches=12, warmup=3)
             break
