@@ -60,14 +60,19 @@ def main():
             cfg, ckpt_models, epoch, use_ema=False,
             batch_size=2048, precision=precision,
         )
-        ws = []
+        ws, ws_half = [], []
         for d in range(N_DRAWS):
             showers = engine.simulate_bulk(cond, jax.random.PRNGKey(100 + d))
             ch_gen = sum_channels(jnp.asarray(showers))
             ws.append(float(jnp.mean(wasserstein_per_channel(ch_real, ch_gen))))
-        ws = np.asarray(ws)
+            # matched-size comparison vs the half-split floor (W1 has
+            # finite-sample bias ~ 1/sqrt(N); compare like with like)
+            ws_half.append(float(jnp.mean(
+                wasserstein_per_channel(ch_real[:half], ch_gen[half: 2 * half]))))
+        ws, ws_half = np.asarray(ws), np.asarray(ws_half)
         print(f"{precision:5s} ws_mean {ws.mean():10,.2f} +- {ws.std():6.2f} "
-              f"(rel {ws.mean()/scale:.4f}; floor x{ws.mean()/max(floor,1e-9):.1f})",
+              f"(rel {ws.mean()/scale:.4f}); matched-N vs floor: "
+              f"{ws_half.mean():,.2f} = x{ws_half.mean()/max(floor,1e-9):.2f}",
               flush=True)
 
 
