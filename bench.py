@@ -35,8 +35,8 @@ def main() -> int:
     # program — per-chunk dispatch RTT never paid) with int8 MXU convs on the
     # two dominant generator layers (1.8x conv throughput vs bf16 measured on
     # v5e; WS fidelity delta vs bf16 gated in BENCH_LOG.md). Best measured:
-    # B=8192, tile=64 (experiments/perf_serve_r2.py). Fallbacks: bulk bf16,
-    # then per-call switch bf16, then dense.
+    # B=32768, tile=64 -> 40.1k showers/s (experiments/perf_sweep2_r2.py);
+    # first fallback B=8192, then bulk bf16, per-call switch bf16, dense.
     stats = None
     for precision, batch, bulk in (("int8", 32768, True), ("int8", 8192, True),
                                    ("bf16", 8192, True), ("bf16", 4096, False)):

@@ -203,6 +203,12 @@ class FastSim:
             from zdcsim.parallel.mesh import DATA_AXIS
 
             n_data = mesh.shape[DATA_AXIS]
+            if cond.shape[0] % n_data != 0:
+                raise ValueError(
+                    f"batch_size {cond.shape[0]} must be divisible by the "
+                    f"'{DATA_AXIS}' mesh axis size {n_data} for sharded-switch "
+                    "serving; pick batch_size = k * mesh.shape['data']"
+                )
             local_b = cond.shape[0] // n_data
             eff_tile = math.gcd(local_b, tile)
 
@@ -221,6 +227,10 @@ class FastSim:
             return decode(gp, gs, idx, cond, noise), idx
 
         self._sim_switch_fn = sim_switch
+        # Bulk programs close over the previous _sim_switch_fn — a rebuild
+        # (e.g. a different tile) must invalidate them or they silently keep
+        # serving the old configuration.
+        self._sim_bulk_cache = {}
         if mesh is None:
             self._sim_switch = jax.jit(sim_switch)
         else:
@@ -232,8 +242,11 @@ class FastSim:
             )
 
     def simulate_switch(self, cond, key: jax.Array, return_experts: bool = False):
-        """Routed generation via on-device tiled-switch dispatch (the
-        production serving path: single-expert FLOPs, one XLA program)."""
+        """Routed generation via on-device tiled-switch dispatch
+        (single-expert FLOPs, one XLA program per chunk). For bulk workloads
+        prefer :meth:`simulate_bulk`, which wraps this dispatch in one
+        ``lax.scan`` program and never pays per-chunk RTT — that is the
+        production serving path (bench.py)."""
         if not hasattr(self, "_sim_switch"):
             self._build_switch()
         cond = jnp.asarray(cond, jnp.float32)
@@ -439,8 +452,11 @@ class FastSim:
         back-to-back (device queue stays full; per-call latency amortizes)
         and scatter outputs on the host.
 
-        This is the production serving path; ``simulate`` (dense) wins only
-        for small one-off batches.
+        NOTE: on this image's remote-relay link the per-chunk dispatch RTT
+        dominates (measured 1.4k showers/s, BENCH_LOG.md) — the production
+        serving path is :meth:`simulate_bulk` with ``precision="int8"`` (what
+        bench.py runs); this host-side grouped path exists for API parity
+        with the reference's partition+scatter scheme.
         """
         if not hasattr(self, "_decode_one"):
             self._build_grouped()

@@ -207,8 +207,13 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
         scale = float(jnp.mean(ch_org))
         half = n_true // 2
         if half >= 8:
+            # Random halves, not contiguous ones: test arrays may preserve
+            # dataset ordering (sorted/grouped kinematics), which would bias
+            # the real-vs-real floor upward. Seeded -> reproducible per call.
+            perm = np.random.default_rng(0).permutation(n_true)
+            ch_perm = ch_org[perm]
             floor = float(jnp.mean(
-                wasserstein_per_channel(ch_org[:half], ch_org[half: 2 * half])
+                wasserstein_per_channel(ch_perm[:half], ch_perm[half: 2 * half])
             ))
         else:
             floor = float("nan")

@@ -26,11 +26,6 @@ def fold_epoch_batch(key: jax.Array, epoch, batch_idx) -> jax.Array:
     return jax.random.fold_in(jax.random.fold_in(key, epoch), batch_idx)
 
 
-def fold_device(key: jax.Array, axis_name: str) -> jax.Array:
-    """Per-device key inside shard_map/pmap — fold in the device index."""
-    return jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-
-
 def split_tree(key: jax.Array, n: int):
     """Split into n keys, returned as a tuple."""
     return tuple(jax.random.split(key, n))
