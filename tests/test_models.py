@@ -183,3 +183,109 @@ def test_expert_dense_grouped_linear():
     b = variables["params"]["bias"]
     ref = jnp.stack([x[e] @ k[e] + b[e, 0] for e in range(E)])
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5)
+
+
+def test_masked_batchnorm_equals_subset_forward():
+    """MaskedBatchNorm with a routing mask == plain BN on the subset rows
+    (the reference's per-sub-batch statistics, moe.py:121-207)."""
+    from zdcsim.models.layers import MaskedBatchNorm
+
+    rng = jax.random.PRNGKey(3)
+    for shape in [(10, 7), (10, 5, 4, 3)]:
+        x = jax.random.normal(jax.random.fold_in(rng, len(shape)), shape) * 3.0 + 1.5
+        mask = jnp.asarray([1, 0, 1, 1, 0, 1, 0, 0, 1, 1], jnp.float32)
+        sub = np.flatnonzero(np.asarray(mask))
+        layer = MaskedBatchNorm()
+        variables = layer.init(jax.random.PRNGKey(0), x, mask, True)
+        # give scale/bias non-trivial values
+        variables = {
+            "params": {
+                "scale": jnp.full_like(variables["params"]["scale"], 1.7),
+                "bias": jnp.full_like(variables["params"]["bias"], -0.3),
+            },
+            "batch_stats": variables["batch_stats"],
+        }
+        y_masked, upd = layer.apply(
+            variables, x, mask, True, mutable=["batch_stats"]
+        )
+        y_subset, upd_sub = layer.apply(
+            variables, x[sub], None, True, mutable=["batch_stats"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_masked[sub]), np.asarray(y_subset), rtol=2e-5, atol=2e-5
+        )
+        # running stats updated from the SAME (subset) statistics
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(upd["batch_stats"][k]),
+                np.asarray(upd_sub["batch_stats"][k]),
+                rtol=2e-5, atol=2e-5,
+            )
+        # eval mode ignores the mask and uses running averages
+        ye_m = layer.apply(
+            {"params": variables["params"], **upd}, x, mask, False
+        )
+        ye_n = layer.apply(
+            {"params": variables["params"], **upd}, x, None, False
+        )
+        np.testing.assert_allclose(np.asarray(ye_m), np.asarray(ye_n), rtol=1e-6)
+
+
+def test_neutron_generator_masked_bn_subset_stats():
+    """The mask threads through GeneratorNeutron: the first BN layer's
+    updated running stats equal those of a forward on only the masked rows
+    (first layer is upstream of any dropout, so stats must match exactly)."""
+    gen = GeneratorNeutron(noise_dim=Z, cond_dim=C)
+    noise = jax.random.normal(jax.random.PRNGKey(0), (6, Z))
+    cond = jax.random.normal(jax.random.PRNGKey(1), (6, C))
+    mask = jnp.asarray([1, 1, 0, 0, 1, 0], jnp.float32)
+    sub = np.flatnonzero(np.asarray(mask))
+    variables = gen.init(KEYS, noise, cond, True)
+    _, upd = gen.apply(
+        variables, noise, cond, True, mask,
+        rngs={"dropout": KEYS["dropout"]}, mutable=["batch_stats"],
+    )
+    _, upd_sub = gen.apply(
+        variables, noise[sub], cond[sub], True, None,
+        rngs={"dropout": KEYS["dropout"]}, mutable=["batch_stats"],
+    )
+    bn0 = upd["batch_stats"]["MaskedBatchNorm_0"]
+    bn0_sub = upd_sub["batch_stats"]["MaskedBatchNorm_0"]
+    np.testing.assert_allclose(
+        np.asarray(bn0["mean"]), np.asarray(bn0_sub["mean"]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(bn0["var"]), np.asarray(bn0_sub["var"]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_build_moe_neutron_masked_stacking():
+    """neutron norm=batch builds mask-aware G/aux stackings that share the
+    mask-free parameter pytree (one train state serves both)."""
+    from zdcsim.config import load_config
+    from zdcsim.models import build_moe
+
+    cfg = load_config(overrides=[
+        "model.architecture=neutron", "dataset.zdc_type=neutron",
+        "dataset.input_image_shape=[44,44]", "model.n_experts=2",
+    ])
+    moe = build_moe(cfg)
+    assert moe.generator_masked is not None and moe.aux_reg_masked is not None
+    E, Bb = 2, 4
+    noise = jax.random.normal(jax.random.PRNGKey(0), (Bb, Z))
+    cond = jax.random.normal(jax.random.PRNGKey(1), (Bb, C))
+    masks = jnp.asarray([[1, 1, 0, 0], [0, 0, 1, 1]], jnp.float32)  # [E, B]
+    variables = moe.generator.init(KEYS, noise, cond, True)  # mask-free init
+    out, upd = moe.generator_masked.apply(
+        variables, noise, cond, True, masks,
+        rngs={"dropout": KEYS["dropout"]}, mutable=["batch_stats"],
+    )
+    assert out.shape == (E, Bb, 44, 44, 1)
+    # group mode builds no masked variants
+    cfg_gn = load_config(overrides=[
+        "model.architecture=neutron", "model.norm=group",
+        "dataset.zdc_type=neutron", "dataset.input_image_shape=[44,44]",
+        "model.n_experts=2",
+    ])
+    moe_gn = build_moe(cfg_gn)
+    assert moe_gn.generator_masked is None and moe_gn.aux_reg_masked is None

@@ -84,6 +84,13 @@ class MoEModules:
     parameter tree matches one leading-axis slice of the stacked tree, which
     grouped inference dispatch uses to decode a bucket with a single
     expert's weights (zdcsim.inference.engine._build_grouped).
+
+    ``generator_masked`` / ``aux_reg_masked`` (neutron ``norm=batch`` only)
+    are re-stackings of the same module classes with an extra per-expert
+    routing-mask input (in_axes covers it with 0) — identical parameter
+    pytree, so the one train state serves both; the dense train step uses
+    them to feed each expert's BatchNorm its routed sub-batch statistics
+    (zdcsim.models.layers.MaskedBatchNorm).
     """
 
     generator: nn.Module
@@ -96,6 +103,8 @@ class MoEModules:
     image_shape: Tuple[int, int]
     names: Dict[str, str] = field(default_factory=dict)
     generator_single: nn.Module | None = None
+    generator_masked: nn.Module | None = None
+    aux_reg_masked: nn.Module | None = None
 
 
 def build_moe(cfg) -> MoEModules:
@@ -132,7 +141,22 @@ def build_moe(cfg) -> MoEModules:
     aux_reg = stack_experts(aux_cls, n_experts, in_axes=(0, None), **aux_extra)
     router = router_cls(n_experts=n_experts)
 
+    # Neutron reference-parity mode: re-stack G/aux with a per-expert routing
+    # mask input so the dense train step can compute each expert's BatchNorm
+    # statistics over its routed sub-batch (the reference's subset-forward
+    # semantics, moe.py:121-207). Same parameter pytree as the mask-free
+    # stackings above.
+    generator_masked = aux_reg_masked = None
+    if arch == "neutron" and gen_extra.get("norm", "batch") == "batch":
+        generator_masked = stack_experts(
+            gen_cls, n_experts, in_axes=(None, None, None, 0),
+            noise_dim=noise_dim, cond_dim=cond_dim, **gen_extra,
+        )
+        aux_reg_masked = stack_experts(aux_cls, n_experts, in_axes=(0, None, 0), **aux_extra)
+
     return MoEModules(
+        generator_masked=generator_masked,
+        aux_reg_masked=aux_reg_masked,
         generator=generator,
         discriminator=discriminator,
         aux_reg=aux_reg,

@@ -61,6 +61,92 @@ class GroupNorm2d(nn.Module):
         return nn.GroupNorm(num_groups=group_norm_groups(self.channels, self.groups))(x)
 
 
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose training statistics come from a per-sample mask.
+
+    The reference trains each neutron expert on its ROUTED SUB-BATCH, so its
+    BatchNorm layers see sub-batch statistics
+    (expertsim/models/moe.py:121-207 subset forwards through the BN generator,
+    models/neutron/generator.py:5-49). zdcsim's dense all-expert train step
+    runs every sample through every expert; with a plain BatchNorm that means
+    full-batch statistics — a measured GAN destabilizer (BENCH_LOG round-2
+    GroupNorm-vs-BN A/B). This layer restores reference semantics inside the
+    dense step: given the expert's routing mask ``m`` in {0,1}^B, the batch
+    mean/var are the mask-weighted statistics
+
+        mean = sum(m*x) / sum(m),  var = sum(m*(x-mean)^2) / sum(m)
+
+    which equal the subset statistics exactly, so masked rows of the output
+    match a per-subset BatchNorm forward bit-for-bit (up to fp reduction
+    order; tested in tests/test_models.py). Unmasked rows are normalized with
+    the same statistics — their values are discarded by the gate-masked
+    losses. Running averages update from the masked statistics only.
+
+    ``mask=None`` (or eval mode) degrades to standard BatchNorm behavior.
+    Statistics are computed in float32 regardless of input dtype (bf16-safe;
+    two-pass mean/var — no E[x^2]-E[x]^2 cancellation). Divergence from
+    torch: running_var stores the biased variance (flax convention), torch
+    stores unbiased; momentum 0.9 matches torch's default 0.1 complement.
+    Cross-device sync: set ``axis_name`` to psum the weighted sums over a
+    data-parallel mesh axis.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None, train: bool = True):
+        feature_shape = (x.shape[-1],)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(feature_shape, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(feature_shape, jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, feature_shape)
+        bias = self.param("bias", nn.initializers.zeros, feature_shape)
+
+        if train:
+            xf = x.astype(jnp.float32)
+            red_axes = tuple(range(x.ndim - 1))
+            # elements per feature channel contributed by masked samples
+            spatial = 1.0
+            for d in x.shape[1:-1]:
+                spatial *= d
+            if mask is None:
+                w_sum = jnp.asarray(float(x.shape[0]), jnp.float32)
+                s1 = jnp.sum(xf, axis=red_axes)
+            else:
+                m = mask.astype(jnp.float32).reshape((x.shape[0],) + (1,) * (x.ndim - 1))
+                w_sum = jnp.sum(m)
+                s1 = jnp.sum(xf * m, axis=red_axes)
+            cnt = w_sum * spatial
+            if self.axis_name is not None:
+                cnt = jax.lax.psum(cnt, self.axis_name)
+                s1 = jax.lax.psum(s1, self.axis_name)
+            cnt = jnp.maximum(cnt, 1.0)
+            mean = s1 / cnt
+            centered = xf - mean
+            if mask is None:
+                s2 = jnp.sum(centered * centered, axis=red_axes)
+            else:
+                s2 = jnp.sum(centered * centered * m, axis=red_axes)
+            if self.axis_name is not None:
+                s2 = jax.lax.psum(s2, self.axis_name)
+            var = s2 / cnt
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1.0 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+            centered = x.astype(jnp.float32) - mean
+
+        y = centered * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
 class SNDense(nn.Module):
     """Spectrally-normalized Dense (power-iteration state in batch_stats)."""
 

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from zdcsim.models.layers import (
     GroupNorm2d,
+    MaskedBatchNorm,
     SNConv,
     SNDense,
     leaky_relu,
@@ -39,31 +40,38 @@ class GeneratorNeutron(nn.Module):
     bn_axis_name: Optional[str] = None  # set to the mesh data axis for synced BN
     norm: str = "batch"  # "batch" (reference parity) or "group" (see _bn)
 
-    def _bn(self, x, train):
+    def _bn(self, x, train, mask=None):
         # model.norm=group swaps BatchNorm for batch-independent GroupNorm /
-        # LayerNorm. Rationale (documented divergence): the dense
-        # all-expert train step computes BN batch statistics over the FULL
-        # batch, not each expert's routed sub-batch as the reference does —
-        # group norm has no batch statistics, so the dense step is exactly
-        # per-expert faithful, deterministic, and needs no cross-device sync.
+        # LayerNorm — no batch statistics, so the dense all-expert step is
+        # exactly per-expert faithful, deterministic, sync-free.
+        # model.norm=batch keeps the reference's BatchNorm layers; during
+        # dense training the expert's routing mask is threaded in so the
+        # statistics come from the routed sub-batch, reproducing the
+        # reference's subset-forward semantics (see MaskedBatchNorm).
         if self.norm == "group":
             if x.ndim == 4:
                 return GroupNorm2d(x.shape[-1])(x)
             return nn.LayerNorm()(x)
-        return nn.BatchNorm(
-            use_running_average=not train, axis_name=self.bn_axis_name, momentum=0.9
-        )(x)
+        return MaskedBatchNorm(momentum=0.9, axis_name=self.bn_axis_name)(
+            x, mask, train
+        )
 
     @nn.compact
-    def __call__(self, noise: jnp.ndarray, cond: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        noise: jnp.ndarray,
+        cond: jnp.ndarray,
+        train: bool = True,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         x = jnp.concatenate([noise, cond], axis=1)
         x = nn.Dense(256)(x)
-        x = self._bn(x, train)
+        x = self._bn(x, train, mask)
         x = nn.Dropout(0.2, deterministic=not train)(x)
         x = leaky_relu(x)
 
         x = nn.Dense(128 * 13 * 13)(x)
-        x = self._bn(x, train)
+        x = self._bn(x, train, mask)
         x = nn.Dropout(0.2, deterministic=not train)(x)
         x = leaky_relu(x)
 
@@ -71,18 +79,18 @@ class GeneratorNeutron(nn.Module):
         x = upsample_nearest(x)  # 26x26
 
         x = nn.Conv(256, (3, 3), padding="VALID")(x)  # 24x24
-        x = self._bn(x, train)
+        x = self._bn(x, train, mask)
         x = nn.Dropout(0.2, deterministic=not train)(x)
         x = leaky_relu(x)
 
         x = upsample_nearest(x)  # 48x48
         x = nn.Conv(128, (3, 3), padding="VALID")(x)  # 46x46
-        x = self._bn(x, train)
+        x = self._bn(x, train, mask)
         x = nn.Dropout(0.2, deterministic=not train)(x)
         x = leaky_relu(x)
 
         x = nn.Conv(64, (2, 2), padding="VALID")(x)  # 45x45
-        x = self._bn(x, train)
+        x = self._bn(x, train, mask)
         x = nn.Dropout(0.2, deterministic=not train)(x)
         x = leaky_relu(x)
 
@@ -142,23 +150,28 @@ class AuxRegNeutron(nn.Module):
     bn_axis_name: Optional[str] = None
     norm: str = "batch"  # "batch" (reference parity) or "group" (see GeneratorNeutron._bn)
 
-    def _bn(self, x, train):
+    def _bn(self, x, train, mask=None):
         if self.norm == "group":
             if x.ndim == 4:
                 return GroupNorm2d(x.shape[-1])(x)
             return nn.LayerNorm()(x)
-        return nn.BatchNorm(
-            use_running_average=not train, axis_name=self.bn_axis_name, momentum=0.9
-        )(x)
+        return MaskedBatchNorm(momentum=0.9, axis_name=self.bn_axis_name)(
+            x, mask, train
+        )
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = True,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         if x.ndim == 3:
             x = x[..., None]
 
         def stage(x, feats, pool_window):
             x = nn.Conv(feats, (3, 3), padding="VALID")(x)
-            x = self._bn(x, train)
+            x = self._bn(x, train, mask)
             x = leaky_relu(x)
             x = nn.Dropout(0.2, deterministic=not train)(x)
             if pool_window is not None:
@@ -171,7 +184,7 @@ class AuxRegNeutron(nn.Module):
         x = stage(x, 256, None)
 
         x = nn.Conv(64, (1, 1), use_bias=False)(x)
-        x = self._bn(x, train)
+        x = self._bn(x, train, mask)
         x = leaky_relu(x)
 
         features = jnp.mean(x, axis=(1, 2))  # adaptive GAP -> [B, 64]

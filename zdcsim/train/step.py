@@ -34,15 +34,16 @@ Documented divergences from the reference:
 - Spectral-norm power iteration advances once per forward like torch, but
   the exact iteration count per step differs by construction; both converge
   to the dominant singular vector.
-- BatchNorm (neutron family only): the dense all-expert forward computes BN
-  batch statistics (and running-stat updates) over the FULL batch B, not
-  each expert's routed sub-batch B_e as the reference's subset forwards do —
-  so the "numerically identical" masked-loss equivalence above holds exactly
-  for batch-independent layers (all proton layers, neutron GroupNorm mode)
-  but NOT for neutron BatchNorm activations. Set ``model.norm: group`` to
-  restore exact per-expert semantics (and deterministic, sync-free layers);
-  ``batch`` keeps the reference's layer type with this documented statistics
-  divergence.
+- BatchNorm (neutron family only): ``model.norm: batch`` uses
+  :class:`zdcsim.models.layers.MaskedBatchNorm` — each expert's BN
+  statistics are mask-weighted over its ROUTED SUB-BATCH inside the dense
+  forward, reproducing the reference's per-subset statistics exactly
+  (masked rows match a per-subset BN forward; tested in
+  tests/test_models.py). Remaining divergences: running_var stores biased
+  variance (flax convention, torch stores unbiased) and the per-batch count
+  of running-stat updates differs (documented in MaskedBatchNorm).
+  ``model.norm: group`` swaps in batch-independent GroupNorm/LayerNorm
+  (deterministic, sync-free — the measured-stable default preset).
 """
 
 from __future__ import annotations
@@ -154,7 +155,13 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
             tree,
         )
 
-    def gen_forward(params, stats, noise, cond, key):
+    # Neutron norm=batch: mask-aware re-stackings feed each expert's
+    # BatchNorm its routed sub-batch statistics (reference subset-forward
+    # semantics, moe.py:121-207; see MaskedBatchNorm). Same param pytree.
+    gen_masked_mod = modules.generator_masked
+    aux_masked_mod = modules.aux_reg_masked
+
+    def gen_forward(params, stats, noise, cond, key, bn_mask):
         if use_fast_gen:
             from zdcsim.models.proton_fast import fast_generator_apply
 
@@ -162,10 +169,16 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
                 _c16(params), _c16(noise), _c16(cond)
             )
             return out.astype(jnp.float32), stats
-        out, new_stats = _apply(
-            gen_mod, _c16(params), stats, _c16(noise), _c16(cond), True,
-            rngs={"dropout": key},
-        )
+        if bn_mask is not None and gen_masked_mod is not None:
+            out, new_stats = _apply(
+                gen_masked_mod, _c16(params), stats, _c16(noise), _c16(cond), True,
+                bn_mask, rngs={"dropout": key},
+            )
+        else:
+            out, new_stats = _apply(
+                gen_mod, _c16(params), stats, _c16(noise), _c16(cond), True,
+                rngs={"dropout": key},
+            )
         return out.astype(jnp.float32), new_stats
 
     def disc_forward(params, stats, img, cond):
@@ -174,10 +187,16 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
         )
         return (score.astype(jnp.float32), latent.astype(jnp.float32)), new_stats
 
-    def aux_forward(params, stats, img, key):
-        out, new_stats = _apply(
-            aux_mod, _c16(params), stats, _c16(img), True, rngs={"dropout": key}
-        )
+    def aux_forward(params, stats, img, key, bn_mask):
+        if bn_mask is not None and aux_masked_mod is not None:
+            out, new_stats = _apply(
+                aux_masked_mod, _c16(params), stats, _c16(img), True, bn_mask,
+                rngs={"dropout": key},
+            )
+        else:
+            out, new_stats = _apply(
+                aux_mod, _c16(params), stats, _c16(img), True, rngs={"dropout": key}
+            )
         return out.astype(jnp.float32), new_stats
 
     # Rematerialization: recompute the big G/D forwards in the backward pass
@@ -216,10 +235,13 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
         noise_1 = jax.random.normal(k_n1, (B, noise_dim))
         noise_2 = jax.random.normal(k_n2, (B, noise_dim))
         real_e = jnp.broadcast_to(real[None], (E,) + real.shape)
+        # Per-expert routing masks for BatchNorm statistics (neutron
+        # norm=batch only; None elsewhere — see gen_forward).
+        bn_mask = masks if (gen_masked_mod is not None) else None
 
         # ------ discriminator update (moe.py:506-527) ------
         fake_1, _ = gen_forward(
-            state.gen.params, state.gen.stats, noise_1, cond, k_g1
+            state.gen.params, state.gen.stats, noise_1, cond, k_g1, bn_mask
         )  # [E, B, H, W, 1]; generator frozen for the D step
         fake_1 = jax.lax.stop_gradient(fake_1)
 
@@ -240,8 +262,8 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
         # ------ generator + aux update vs the UPDATED discriminator
         # (reference order: D steps before G inside the same batch) ------
         def g_loss_fn(g_params, a_params):
-            fake1, gst1 = gen_forward(g_params, state.gen.stats, noise_1, cond, k_g1)
-            fake2, gst2 = gen_forward(g_params, gst1, noise_2, cond, k_g2)
+            fake1, gst1 = gen_forward(g_params, state.gen.stats, noise_1, cond, k_g1, bn_mask)
+            fake2, gst2 = gen_forward(g_params, gst1, noise_2, cond, k_g2, bn_mask)
             (s1, l1), dst1 = disc_forward(disc_new.params, disc_new.stats, fake1, cond)
             (s2, l2), dst2 = disc_forward(disc_new.params, dst1, fake2, cond)
 
@@ -250,7 +272,7 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
             int_loss_e, sums1, std_int_e, mean_int_e = _intensity_e(
                 fake1, intensity, in_strength, masks
             )  # [E], [E,B], [E], [E]
-            aux_pred, ast = aux_forward(a_params, state.aux.stats, fake1, k_aux)  # [E, B, 2]
+            aux_pred, ast = aux_forward(a_params, state.aux.stats, fake1, k_aux, bn_mask)  # [E, B, 2]
             aux_loss_e = _log_cosh_e(positions, aux_pred, masks) * aux_strength  # [E]
 
             gen_total_e = (hinge_e + div_e + int_loss_e + aux_loss_e) * w * active_f
