@@ -342,3 +342,57 @@ def test_fastsim_switch_odd_batch(setup):
     cond = np.random.default_rng(5).normal(size=(50, 9)).astype(np.float32)
     out = engine.simulate_switch(cond, jax.random.PRNGKey(0))
     assert np.asarray(out).shape == (50, *SHAPE)
+
+
+def test_evaluator_bulk_matches_perchunk(setup):
+    """eval.bulk (whole eval epoch in ONE XLA program) must reproduce the
+    per-chunk dispatch path: same split/fold_in key sequence -> identical
+    routing, channel sums, and W1 metrics."""
+    cfg, modules, state = setup
+    n = 80  # chunk_size=32 -> 2 full chunks + padded remainder
+    test_arrays = {
+        "real": jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (n, *SHAPE, 1))),
+        "cond": jax.random.normal(jax.random.PRNGKey(2), (n, 9)),
+    }
+    ev_bulk = build_evaluator(modules, tiny_cfg(), chunk_size=32)
+    ev_chunk = build_evaluator(
+        modules, tiny_cfg(**{"eval.bulk": "false"}), chunk_size=32
+    )
+    for epoch in (0, 25):  # n_calc = 1 and 5
+        m_b = ev_bulk(state, test_arrays, epoch=epoch, key=jax.random.PRNGKey(3))
+        m_c = ev_chunk(state, test_arrays, epoch=epoch, key=jax.random.PRNGKey(3))
+        np.testing.assert_array_equal(
+            m_b["eval_expert_counts"], m_c["eval_expert_counts"]
+        )
+        np.testing.assert_allclose(m_b["ws_mean"], m_c["ws_mean"], rtol=1e-6)
+        np.testing.assert_allclose(m_b["ws_std"], m_c["ws_std"], rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            m_b["ws_mean_exp"], m_c["ws_mean_exp"], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            m_b["ws_real_floor"], m_c["ws_real_floor"], rtol=1e-6
+        )
+
+
+def test_eval_figures_include_pca_tsne(setup, tmp_path):
+    """generate_eval_figures renders the PCA/t-SNE conditioning projection
+    (reference parity: expertsim/train/loop.py:258-329) and saves it."""
+    import os
+
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg")
+    from zdcsim.train.eval_plots import generate_eval_figures, save_figures
+
+    cfg, modules, state = setup
+    n = 64
+    test_arrays = {
+        "real": jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (n, *SHAPE, 1))),
+        "cond": jax.random.normal(jax.random.PRNGKey(2), (n, 9)),
+    }
+    figs = generate_eval_figures(
+        modules, state, test_arrays, epoch=3,
+        cond_names=[f"c{i}" for i in range(9)], key=jax.random.PRNGKey(7),
+    )
+    assert "cond_pca_tsne" in figs
+    save_figures(figs, str(tmp_path / "plots"), 3)
+    assert os.path.exists(str(tmp_path / "plots" / "cond_pca_tsne_epoch_3.png"))

@@ -48,6 +48,9 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
     fused_epilogue = (
         bool(cfg.get("eval", {}).get("fused_epilogue", False)) if "eval" in cfg else False
     )
+    # eval.bulk (default on): whole eval epoch in one XLA program (see
+    # bulk_eval below). Off = per-chunk dispatch (the reference-shaped path).
+    bulk = bool(cfg.get("eval", {}).get("bulk", True)) if "eval" in cfg else True
 
     def channels_of_log(img_log):
         """[B, H, W] log-space showers -> [B, 5] linear channel sums."""
@@ -69,8 +72,7 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
     gen_single = modules.generator_single
     h_img, w_img = modules.image_shape
 
-    @jax.jit
-    def gen_chunk(gen_params, gen_stats, cond, idx, key):
+    def gen_chunk_core(gen_params, gen_stats, cond, idx, key):
         """Routed generation + channel sums for one chunk.
 
         Uses single-expert tiled-switch decode when a tile evenly divides the
@@ -113,6 +115,8 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
             )[0, ..., 0]
         return channels_of_log(sel)  # [B, 5]
 
+    gen_chunk = jax.jit(gen_chunk_core)
+
     def _apply_gen(gen_params, gen_stats, noise, cond):
         variables = {"params": gen_params, **gen_stats}
         mutable = list(gen_stats.keys())
@@ -137,6 +141,60 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
             )(ch_org, ch_gen)
 
         return overall, jax.vmap(per_expert)(e_masks)
+
+    # ------------------------------------------------------------------
+    # Bulk evaluator (eval.bulk, default ON): the WHOLE eval epoch in ONE
+    # XLA program — route/real-channel scan over chunks, then a scan over
+    # the n_calc generation runs, each itself a scan over chunks, with the
+    # W1 distances computed inside. The per-chunk path above pays one
+    # dispatch+readback per chunk per run (~26 ms RTT each on this link —
+    # an eval epoch with 25 chunks x 5 runs burns ~3 s of pure RTT); the
+    # bulk program pays ONE. Key derivation replicates the per-chunk path's
+    # split/fold_in sequence exactly, so channel sums are bit-equal
+    # (tested in tests/test_evaluator.py).
+    # ------------------------------------------------------------------
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("n_calc", "n_true"))
+    def bulk_eval(router_params, gen_params, gen_stats, cond_chunks, real_chunks,
+                  key, n_calc: int, n_true: int):
+        C, csize = cond_chunks.shape[0], cond_chunks.shape[1]
+        k_route, key = jax.random.split(key)
+
+        def route_org_body(_, inp):
+            c, cond_c, real_c = inp
+            _, logits = router_mod.apply({"params": router_params}, cond_c)
+            if sample_routing:
+                kc = jax.random.fold_in(k_route, c)
+                logits = logits + jax.random.gumbel(kc, logits.shape, logits.dtype)
+            idx_c = jnp.argmax(logits, axis=-1)
+            org_c = channels_of_log(real_c[..., 0] if real_c.ndim == 4 else real_c)
+            return None, (idx_c, org_c)
+
+        _, (idx_cc, org_cc) = jax.lax.scan(
+            route_org_body, None, (jnp.arange(C), cond_chunks, real_chunks)
+        )
+        idx = idx_cc.reshape(C * csize)
+        ch_org = org_cc.reshape(C * csize, 5)[:n_true]
+        idx_true = idx[:n_true]
+
+        def run_body(carry_key, _):
+            carry_key, kj = jax.random.split(carry_key)
+
+            def gen_body(_, inp):
+                c, cond_c, idx_c = inp
+                kc = jax.random.fold_in(kj, c)
+                return None, gen_chunk_core(gen_params, gen_stats, cond_c, idx_c, kc)
+
+            _, gen_cc = jax.lax.scan(
+                gen_body, None, (jnp.arange(C), cond_chunks, idx_cc)
+            )
+            ch_gen = gen_cc.reshape(C * csize, 5)[:n_true]
+            overall, per_exp = ws_all(ch_org, ch_gen, idx_true)
+            return carry_key, (overall, per_exp)
+
+        _, (ws_runs, ws_exp_runs) = jax.lax.scan(run_body, key, None, length=n_calc)
+        return ws_runs, ws_exp_runs, idx_true, ch_org
 
     def evaluate(
         state,
@@ -164,40 +222,51 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
             real = jnp.concatenate([real] + [real[: max(1, pad)]] * reps)[: n_true + pad]
         n = cond.shape[0]
         n_calc = int(min(epoch // 5 + 1, 5))
-
-        k_route, key = jax.random.split(key)
         chunks = max(1, n // chunk_size) if n >= chunk_size else 1
         csize = n // chunks
-        idx_parts, org_parts = [], []
-        for c in range(chunks):
-            sl = slice(c * csize, (c + 1) * csize)
-            idx_parts.append(
-                route_chunk(state.router.params, cond[sl], jax.random.fold_in(k_route, c))
-            )
-            org_parts.append(real_channels(real[sl]))
-        idx = jnp.concatenate(idx_parts)
-        ch_org = jnp.concatenate(org_parts)[:n_true]
 
-        ws_runs = np.zeros((n_calc, 5))
-        ws_exp_runs = np.zeros((n_calc, E, 5))
-        for j in range(n_calc):
-            key, kj = jax.random.split(key)
-            gen_parts = []
+        if bulk:
+            cond_chunks = cond[: chunks * csize].reshape(chunks, csize, cond.shape[-1])
+            real_chunks = real[: chunks * csize].reshape((chunks, csize) + real.shape[1:])
+            ws_d, ws_exp_d, idx_true, ch_org = bulk_eval(
+                state.router.params, state.gen.params, state.gen.stats,
+                cond_chunks, real_chunks, key, n_calc, n_true,
+            )
+            ws_runs = np.asarray(ws_d)
+            ws_exp_runs = np.asarray(ws_exp_d)
+        else:
+            k_route, key = jax.random.split(key)
+            idx_parts, org_parts = [], []
             for c in range(chunks):
                 sl = slice(c * csize, (c + 1) * csize)
-                kc = jax.random.fold_in(kj, c)
-                gen_parts.append(
-                    gen_chunk(state.gen.params, state.gen.stats, cond[sl], idx[sl], kc)
+                idx_parts.append(
+                    route_chunk(state.router.params, cond[sl], jax.random.fold_in(k_route, c))
                 )
-            ch_gen = jnp.concatenate(gen_parts)[:n_true]
-            overall, per_exp = ws_all(ch_org, ch_gen, idx[:n_true])
-            ws_runs[j] = np.asarray(overall)
-            ws_exp_runs[j] = np.asarray(per_exp)
+                org_parts.append(real_channels(real[sl]))
+            idx = jnp.concatenate(idx_parts)
+            idx_true = idx[:n_true]
+            ch_org = jnp.concatenate(org_parts)[:n_true]
+
+            ws_runs = np.zeros((n_calc, 5))
+            ws_exp_runs = np.zeros((n_calc, E, 5))
+            for j in range(n_calc):
+                key, kj = jax.random.split(key)
+                gen_parts = []
+                for c in range(chunks):
+                    sl = slice(c * csize, (c + 1) * csize)
+                    kc = jax.random.fold_in(kj, c)
+                    gen_parts.append(
+                        gen_chunk(state.gen.params, state.gen.stats, cond[sl], idx[sl], kc)
+                    )
+                ch_gen = jnp.concatenate(gen_parts)[:n_true]
+                overall, per_exp = ws_all(ch_org, ch_gen, idx_true)
+                ws_runs[j] = np.asarray(overall)
+                ws_exp_runs[j] = np.asarray(per_exp)
 
         ws_by_run = ws_runs.mean(axis=1)  # [n_calc]
         ws_exp_by_run = ws_exp_runs.mean(axis=2)  # [n_calc, E]
         counts = np.asarray(
-            jnp.sum(idx[:n_true][None, :] == jnp.arange(E)[:, None], axis=1)
+            jnp.sum(idx_true[None, :] == jnp.arange(E)[:, None], axis=1)
         )
         # Scale-normalized fidelity (raw W1 is in photons and means nothing
         # across datasets): ws_mean_rel = W1 / mean real channel sum, and the
@@ -231,7 +300,7 @@ def build_evaluator(modules: MoEModules, cfg, chunk_size: int | None = None):
             from zdcsim.evals.router_metrics import router_classification_metrics
 
             cls = router_classification_metrics(
-                np.asarray(idx[:n_true]), np.asarray(expert_labels)[:n_true], E
+                np.asarray(idx_true), np.asarray(expert_labels)[:n_true], E
             )
             metrics.update({f"router_{k}": v for k, v in cls.items()})
         return metrics

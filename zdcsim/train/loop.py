@@ -53,10 +53,14 @@ def _finalize_metrics(acc, n_batches: int) -> Dict[str, Any]:
     return out
 
 
-def train(cfg, split=None, sharding=None, modules=None) -> List[Dict[str, Any]]:
+def train(
+    cfg, split=None, sharding=None, modules=None, return_state: bool = False
+) -> List[Dict[str, Any]]:
     """Full training run; returns the per-epoch metric history
     (reference ``train()``, train/loop.py:27-94). ``modules`` overrides the
-    model bundle (tests inject tiny stand-ins)."""
+    model bundle (tests inject tiny stand-ins). With ``return_state`` the
+    final train state is returned too — ``(history, state)`` — so studies
+    can evaluate EMA-vs-raw weights without a checkpoint round trip."""
     if "experiment_dir" not in cfg.config:
         append_experiment_dir_to_cfg(cfg)
     if split is None:
@@ -174,4 +178,6 @@ def train(cfg, split=None, sharding=None, modules=None) -> List[Dict[str, Any]]:
         raise
     finally:
         callbacks.on_train_end(history)
+    if return_state:
+        return history, state
     return history
