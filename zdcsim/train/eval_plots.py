@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from zdcsim.evals.plots import (
+    plot_cond_pca_tsne,
     plot_expert_heatmap,
     plot_expert_specialization,
     plot_photonsum_histograms_shared,
@@ -69,6 +70,14 @@ def generate_eval_figures(
         "expert_specialization": plot_expert_specialization(cond_np, idx_np, epoch, cond_names),
         "expert_heatmap": plot_expert_heatmap(cond_np, idx_np, epoch, cond_names),
     }
+    # PCA/t-SNE of the conditioning set colored by routed expert — rendered
+    # during eval like the reference (expertsim/train/loop.py:258-329).
+    # t-SNE needs >1 routed expert and a handful of samples to be meaningful.
+    if len(np.unique(idx_np)) > 1 and n >= 16:
+        try:
+            figures["cond_pca_tsne"] = plot_cond_pca_tsne(cond_np, idx_np, epoch)
+        except Exception:
+            log.warning("PCA/t-SNE figure failed", exc_info=True)
     return figures
 
 
