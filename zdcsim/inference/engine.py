@@ -82,9 +82,17 @@ class FastSim:
         self._mesh = mesh
         h, w = modules.image_shape
         self.image_shape = (h, w)
-        dtype = jnp.bfloat16 if precision in ("bf16", "int8") else jnp.float32
+        dtype = (
+            jnp.bfloat16 if precision in ("bf16", "int8", "int8_pallas") else jnp.float32
+        )
         self._dtype = dtype
-        self._int8 = precision == "int8" and fast and modules.names.get("generator") == "Generator"
+        self._int8 = (
+            precision in ("int8", "int8_pallas")
+            and fast and modules.names.get("generator") == "Generator"
+        )
+        # "int8_pallas": fused Pallas LN-quant + phase-conv kernels
+        # (zdcsim/ops/pallas_decode.py) instead of the XLA int8 convs.
+        self._int8_backend = "pallas" if precision == "int8_pallas" else "xla"
 
         gen_params = _cast_tree(gen_params, dtype)
         gen_stats = _cast_tree(gen_stats, dtype)
@@ -119,7 +127,9 @@ class FastSim:
                 from zdcsim.models.proton_fast import fast_generator_apply
 
                 imgs = jax.vmap(
-                    lambda p, z, c: fast_generator_apply(p, z, c, int8=self._int8),
+                    lambda p, z, c: fast_generator_apply(
+                        p, z, c, int8=self._int8, int8_backend=self._int8_backend
+                    ),
                     in_axes=(0, None, None),
                 )(gp, noise, cond.astype(dtype))
             else:
@@ -169,12 +179,15 @@ class FastSim:
         mesh = self._mesh
 
         int8 = self._int8
+        int8_backend = self._int8_backend
 
         def make_decoder(gp, gs, e):
             def decode(z, c):
                 gp_e = jax.tree_util.tree_map(lambda p: p[e], gp)
                 if use_fast:
-                    img = fast_generator_apply(gp_e, z, c.astype(dtype), int8=int8)
+                    img = fast_generator_apply(
+                        gp_e, z, c.astype(dtype), int8=int8, int8_backend=int8_backend
+                    )
                 else:
                     gs_e = jax.tree_util.tree_map(lambda p: p[e], gs)
                     img = gen_single.apply({"params": gp_e, **gs_e}, z, c.astype(dtype), False)

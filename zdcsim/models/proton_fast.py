@@ -357,7 +357,8 @@ def _group_norm(x, p, channels):
 
 
 def fast_generator_apply(
-    params: Any, noise: jnp.ndarray, cond: jnp.ndarray, int8: bool = False
+    params: Any, noise: jnp.ndarray, cond: jnp.ndarray, int8: bool = False,
+    int8_backend: str = "xla",
 ) -> jnp.ndarray:
     """Inference forward of ``zdcsim.models.proton.Generator`` with the fused
     upsample+conv rewrite, from the unmodified parameter tree.
@@ -368,23 +369,45 @@ def fast_generator_apply(
     following GroupNorms renormalize scale, so the quantization error that
     survives is shape noise only — fidelity impact is measured in
     BENCH_LOG.md before this is used for any physics claim.
+
+    ``int8_backend="pallas"`` swaps the MLP LayerNorm epilogue and Conv_0
+    for the fused Pallas kernels (zdcsim/ops/pallas_decode.py): LN + leaky +
+    PER-SAMPLE int8 quant in one HBM pass, then all four parity-phase convs
+    + dequant + interleave in one kernel. Exactness vs this XLA path is
+    tested in tests/test_pallas_decode.py; per-sample activation scales are
+    finer than the per-tensor scale used here.
     """
     p = params
+    use_pallas = int8 and int8_backend == "pallas"
     x = jnp.concatenate([noise, cond], axis=1)
     # MLP stays bf16: its cost is the 92160-wide LayerNorm traffic, not the
     # matmul — int8-ing it measured neutral-to-negative (BENCH_LOG round 2).
-    for blk in ("MLPBlock_0", "MLPBlock_1"):
-        bp = p[blk]
-        x = x @ bp["Dense_0"]["kernel"] + bp["Dense_0"]["bias"]
-        x = _layer_norm(x, bp["LayerNorm_0"])
-        x = _leaky(x)
-    x = x.reshape(-1, 18, 10, 512)
+    bp0 = p["MLPBlock_0"]
+    x = x @ bp0["Dense_0"]["kernel"] + bp0["Dense_0"]["bias"]
+    x = _layer_norm(x, bp0["LayerNorm_0"])
+    x = _leaky(x)
+    bp1 = p["MLPBlock_1"]
+    x = x @ bp1["Dense_0"]["kernel"] + bp1["Dense_0"]["bias"]
+    if use_pallas:
+        from zdcsim.ops.pallas_decode import ln_leaky_rowquant, up2_conv4_int8
 
-    # upsample x2 + Conv_0 4x4 pad1 -> fused parity convs (35x19x256)
-    if int8:
-        x = fused_upsample2_conv4_int8(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
+        xq, sx = ln_leaky_rowquant(
+            x, bp1["LayerNorm_0"]["scale"], bp1["LayerNorm_0"]["bias"]
+        )
+        x = up2_conv4_int8(
+            xq.reshape(-1, 18, 10, 512), sx,
+            p["Conv_0"]["kernel"], p["Conv_0"]["bias"], out_dtype=noise.dtype,
+        )
     else:
-        x = fused_upsample2_conv4(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
+        x = _layer_norm(x, bp1["LayerNorm_0"])
+        x = _leaky(x)
+        x = x.reshape(-1, 18, 10, 512)
+
+        # upsample x2 + Conv_0 4x4 pad1 -> fused parity convs (35x19x256)
+        if int8:
+            x = fused_upsample2_conv4_int8(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
+        else:
+            x = fused_upsample2_conv4(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
     x = _group_norm(x, p["GroupNorm2d_0"]["GroupNorm_0"], 256)
     x = _leaky(x)
 
