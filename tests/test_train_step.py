@@ -232,3 +232,71 @@ def test_remat_step_matches_plain():
     g_p, d_p = run(cfg_p)
     np.testing.assert_allclose(g_r, g_p, rtol=1e-5)
     np.testing.assert_allclose(d_r, d_p, rtol=1e-5)
+
+
+def test_switch_dispatch_step_matches_dense():
+    """train.dispatch=switch (single-expert-FLOPs tiled dispatch) must
+    reproduce the dense step's losses, metrics, and parameter updates — the
+    dense step's unrouted (sample, expert) work is exactly the part the
+    masked losses zero out. Constant router GAN term in both arms (the one
+    documented semantic difference is thereby removed); tiny models have no
+    dropout/stats, so results differ only by fp reduction order."""
+    cfg_d = tiny_cfg(**{"model.router.differentiable_gan_term": "false"})
+    cfg_s = tiny_cfg(**{
+        "model.router.differentiable_gan_term": "false",
+        "train.dispatch": "switch", "train.dispatch_tile": 4,
+    })
+    modules = build_tiny_moe(cfg_d, SHAPE)
+    state = init_state(modules, cfg_d, jax.random.PRNGKey(0))
+    step_d = build_train_step(modules, cfg_d)
+    step_s = build_train_step(modules, cfg_s)
+    batch = make_batch(jax.random.PRNGKey(3))
+    key = jax.random.PRNGKey(4)
+
+    sd, md = step_d(fresh(state), batch, key, jnp.asarray(0))
+    ss, ms = step_s(fresh(state), batch, key, jnp.asarray(0))
+
+    for k in ("gen_loss", "disc_loss", "div_loss", "intensity_loss",
+              "aux_reg_loss", "router_loss", "gan_loss"):
+        np.testing.assert_allclose(
+            np.asarray(md[k]), np.asarray(ms[k]), rtol=2e-4, atol=1e-5,
+            err_msg=f"metric {k} dense vs switch",
+        )
+    np.testing.assert_array_equal(
+        np.asarray(md["n_choosen_experts_mean_epoch"]),
+        np.asarray(ms["n_choosen_experts_mean_epoch"]),
+    )
+    for name, cd, cs in (("gen", sd.gen, ss.gen), ("disc", sd.disc, ss.disc),
+                         ("aux", sd.aux, ss.aux), ("router", sd.router, ss.router)):
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(cd.params),
+            jax.tree_util.tree_leaves_with_path(cs.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5,
+                err_msg=f"{name} params {pa} dense vs switch",
+            )
+
+
+def test_switch_dispatch_multiple_steps_stay_close():
+    """Two chained switch steps track dense (no drift blow-up)."""
+    cfg_s = tiny_cfg(**{
+        "model.router.differentiable_gan_term": "false",
+        "train.dispatch": "switch", "train.dispatch_tile": 8,
+    })
+    cfg_d = tiny_cfg(**{"model.router.differentiable_gan_term": "false"})
+    modules = build_tiny_moe(cfg_s, SHAPE)
+    state = init_state(modules, cfg_s, jax.random.PRNGKey(0))
+    step_s = build_train_step(modules, cfg_s)
+    step_d = build_train_step(modules, cfg_d)
+    sd, ss = fresh(state), fresh(state)
+    for t in range(2):
+        batch = make_batch(jax.random.PRNGKey(10 + t))
+        sd, md = step_d(sd, batch, jax.random.PRNGKey(20 + t), jnp.asarray(t))
+        ss, ms = step_s(ss, batch, jax.random.PRNGKey(20 + t), jnp.asarray(t))
+    np.testing.assert_allclose(
+        np.asarray(md["gen_loss"]), np.asarray(ms["gen_loss"]), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(md["disc_loss"]), np.asarray(ms["disc_loss"]), rtol=1e-3
+    )

@@ -95,3 +95,79 @@ def tiled_switch_decode(
         imgs_all.reshape(-1, *out_shape), mode="drop"
     )
     return out[:b]
+
+
+def tiled_switch_apply(
+    apply_fns: Sequence[Callable],
+    idx: jnp.ndarray,
+    inputs,
+    tile: int = 64,
+):
+    """Differentiable generalization of :func:`tiled_switch_decode` for
+    TRAINING-side dispatch: arbitrary per-sample input/output pytrees.
+
+    Args:
+        apply_fns: per-expert closures ``(inputs_chunk_pytree) -> out_pytree``
+            mapping ``[T, ...]`` leaves to ``[T, ...]`` leaves.
+        idx: ``[B]`` expert assignment (not differentiated — indices).
+        inputs: pytree of ``[B, ...]`` arrays, gathered per chunk.
+        tile: chunk size (must divide B).
+
+    Returns:
+        pytree of ``[B, ...]`` routed outputs.
+
+    Divergence from ``tiled_switch_decode``: pad lanes (the alignment
+    replicas of each expert's final samples) scatter to the DUMMY row
+    instead of rewriting the real row. For inference both are identical
+    (replicas are bit-equal); under ``jax.grad`` the duplicate-scatter
+    version would double-count boundary-sample cotangents — scatter-set's
+    VJP gathers the output cotangent at EVERY contributing index — so here
+    each real row is written exactly once and gradients are exact (tested
+    against dense in tests/test_train_step.py).
+    """
+    e_count = len(apply_fns)
+    b = idx.shape[0]
+    if b % tile != 0:
+        raise ValueError(f"batch {b} must be a multiple of tile {tile}")
+    k_chunks = b // tile + e_count
+
+    idx = jax.lax.stop_gradient(idx)
+    counts = jnp.bincount(idx, length=e_count)
+    padded = ((counts + tile - 1) // tile) * tile
+    aligned_off = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(padded)])
+    seg_start = jnp.concatenate([jnp.zeros(1, counts.dtype), jnp.cumsum(counts)])
+    perm = jnp.argsort(idx, stable=True)
+    total_aligned = aligned_off[-1]
+    lane = jnp.arange(tile)
+
+    def chunk_rows(k):
+        pos = k * tile
+        e_k = jnp.clip(
+            jnp.searchsorted(aligned_off[1:], pos, side="right"), 0, e_count - 1
+        )
+        local = pos - aligned_off[e_k] + lane
+        real = local < counts[e_k]
+        src = seg_start[e_k] + jnp.minimum(local, jnp.maximum(counts[e_k] - 1, 0))
+        rows = perm[src]
+        used = (pos < total_aligned) & (counts[e_k] > 0)
+        # pad lanes -> dummy row b (exactly-once writes; see docstring)
+        return jnp.where(used & real, rows, b), jnp.where(used, rows, b), e_k
+
+    def body(carry, k):
+        rows_out, rows_in, e_k = chunk_rows(k)
+        safe = jnp.minimum(rows_in, b - 1)
+        chunk_in = jax.tree_util.tree_map(lambda a: a[safe], inputs)
+        out = jax.lax.switch(e_k, list(apply_fns), chunk_in)
+        return carry, (rows_out, out)
+
+    _, (rows_all, outs_all) = jax.lax.scan(body, None, jnp.arange(k_chunks))
+    flat_rows = rows_all.reshape(-1)
+
+    def scatter(leaf):
+        buf = jnp.zeros((b + 1,) + leaf.shape[2:], leaf.dtype)
+        buf = buf.at[flat_rows].set(
+            leaf.reshape((-1,) + leaf.shape[2:]), mode="drop"
+        )
+        return buf[:b]
+
+    return jax.tree_util.tree_map(scatter, outs_all)

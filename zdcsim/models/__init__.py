@@ -105,6 +105,8 @@ class MoEModules:
     generator_single: nn.Module | None = None
     generator_masked: nn.Module | None = None
     aux_reg_masked: nn.Module | None = None
+    discriminator_single: nn.Module | None = None
+    aux_reg_single: nn.Module | None = None
 
 
 def build_moe(cfg) -> MoEModules:
@@ -162,6 +164,8 @@ def build_moe(cfg) -> MoEModules:
         aux_reg=aux_reg,
         router=router,
         generator_single=gen_cls(noise_dim=noise_dim, cond_dim=cond_dim, **gen_extra),
+        discriminator_single=disc_cls(cond_dim=cond_dim),
+        aux_reg_single=aux_cls(**aux_extra),
         n_experts=n_experts,
         noise_dim=noise_dim,
         cond_dim=cond_dim,

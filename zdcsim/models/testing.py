@@ -78,6 +78,8 @@ def build_tiny_moe(cfg, image_shape: Tuple[int, int] = (8, 6)) -> MoEModules:
         generator_single=TinyGenerator(
             noise_dim=noise_dim, cond_dim=cond_dim, image_shape=image_shape
         ),
+        discriminator_single=TinyDiscriminator(cond_dim=cond_dim),
+        aux_reg_single=TinyAuxReg(),
         n_experts=n_experts,
         noise_dim=noise_dim,
         cond_dim=cond_dim,

@@ -86,6 +86,17 @@ _sdi_e = jax.vmap(sdi_gan_regularization, in_axes=(0, 0, None, None, None, None,
 _intensity_e = jax.vmap(intensity_regularization, in_axes=(0, None, None, 0))
 _log_cosh_e = jax.vmap(log_cosh_loss, in_axes=(None, 0, 0))
 
+# Switch-dispatch variants: inputs are per-sample ROUTED arrays [B, ...]
+# (each sample already decoded/scored by its own expert), vmapped over the
+# expert MASKS only — the masked means select exactly the same terms the
+# dense path's masked [E, B] rows contribute, so losses are equal up to fp
+# reduction order (tested in tests/test_train_step.py).
+_hinge_d_r = jax.vmap(hinge_discriminator_loss, in_axes=(None, None, 0))
+_hinge_g_r = jax.vmap(hinge_generator_loss, in_axes=(None, 0))
+_sdi_r = jax.vmap(sdi_gan_regularization, in_axes=(None, None, None, None, None, None, 0, None))
+_intensity_r = jax.vmap(intensity_regularization, in_axes=(None, None, None, 0))
+_log_cosh_r = jax.vmap(log_cosh_loss, in_axes=(None, None, 0))
+
 
 def _apply(module, params, stats, *args, rngs=None, **kwargs):
     """Apply a module with mutable non-param collections; returns (out, stats)."""
@@ -411,6 +422,290 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
         }
         metrics = jax.lax.stop_gradient(metrics)
         return new_state, metrics
+
+    # ------------------------------------------------------------------
+    # Single-expert-FLOPs dispatch (train.dispatch: switch).
+    #
+    # The dense step computes every (sample, expert) pair and masks the
+    # losses; its gradients only ever come from routed pairs, so decoding/
+    # scoring each sample with ONLY its routed expert (tiled-switch
+    # dispatch, zdcsim.inference.switch_dispatch.tiled_switch_apply)
+    # produces the same masked losses and gradients at ~1/E of the G/D/aux
+    # FLOPs. Semantic constraints (all documented divergences):
+    #   - router GAN term falls back to the reference-faithful constant
+    #     (moe.py:176-207) — the differentiable variant needs ALL-pair
+    #     fake scores which switch dispatch deliberately never computes;
+    #   - requires stats-free generator/aux (proton family, neutron
+    #     norm=group) — per-sub-batch BN needs the dense step;
+    #   - discriminator spectral-norm power iteration is data-independent,
+    #     so it advances via a 1-sample dense forward per D/G phase
+    #     (2 advances/step vs dense's 4; both converge to the dominant
+    #     singular vector);
+    #   - dropout masks draw per (expert, chunk) instead of per dense row.
+    # ------------------------------------------------------------------
+    dispatch = str(cfg.train.get("dispatch", "dense"))
+    switch_tile = int(cfg.train.get("dispatch_tile", 64))
+    use_switch = dispatch == "switch" and E > 1 and mesh is None
+    if dispatch == "switch" and mesh is not None:
+        raise ValueError("train.dispatch=switch does not support the mesh path yet")
+    if use_switch and (
+        modules.generator_single is None
+        or modules.discriminator_single is None
+        or modules.aux_reg_single is None
+    ):
+        raise ValueError("train.dispatch=switch needs single-module handles on MoEModules")
+
+    def train_step_switch(state, batch, key, epoch):
+        from zdcsim.inference.switch_dispatch import tiled_switch_apply
+
+        if len(jax.tree_util.tree_leaves(state.gen.stats)) or len(
+            jax.tree_util.tree_leaves(state.aux.stats)
+        ):
+            raise ValueError(
+                "train.dispatch=switch requires stats-free generator/aux "
+                "(proton, or neutron with model.norm=group); use dense for "
+                "per-sub-batch BatchNorm semantics"
+            )
+        real = batch["real"]
+        cond = batch["cond"]
+        std = batch["std"]
+        intensity = batch["intensity"]
+        positions = batch["positions"]
+        B = real.shape[0]
+
+        k_gumbel, k_n1, k_n2, k_g1, k_g2, k_aux = jax.random.split(key, 6)
+        epoch_f = jnp.asarray(epoch, jnp.float32)
+        tau = tau_schedule(epoch_f, tau_start, tau_min, tau_decay)
+
+        _, logits = router_mod.apply({"params": state.router.params}, cond)
+        gumbel_noise = jax.random.gumbel(k_gumbel, logits.shape, logits.dtype)
+        gates_soft = jax.nn.softmax((logits + gumbel_noise) / tau, axis=-1)
+        idx = jnp.argmax(gates_soft, axis=-1)
+        masks = expert_masks(idx, E)
+        counts = jnp.sum(masks, axis=1)
+        w = counts / B
+        active = counts > 1.0
+        active_f = active.astype(jnp.float32)
+
+        noise_1 = jax.random.normal(k_n1, (B, noise_dim))
+        noise_2 = jax.random.normal(k_n2, (B, noise_dim))
+        idx2 = jnp.concatenate([idx, idx])
+        rid2 = jnp.arange(2 * B, dtype=jnp.int32)
+        cond2 = jnp.concatenate([cond, cond])
+        noise12 = jnp.concatenate([noise_1, noise_2])
+
+        gen_single = modules.generator_single
+        disc_single = modules.discriminator_single
+        aux_single = modules.aux_reg_single
+        slice_e = lambda tree, e: jax.tree_util.tree_map(lambda p: p[e], tree)
+
+        def gen_fns(g_params, kg):
+            def mk(e):
+                def fn(chunk):
+                    rng = jax.random.fold_in(jax.random.fold_in(kg, e), chunk["rid"][0])
+                    out = gen_single.apply(
+                        {"params": _c16(slice_e(g_params, e))},
+                        _c16(chunk["z"]), _c16(chunk["c"]), True,
+                        rngs={"dropout": rng},
+                    )
+                    return out.astype(jnp.float32)
+
+                return fn
+
+            return [mk(e) for e in range(E)]
+
+        def disc_fns(d_params):
+            def mk(e):
+                def fn(chunk):
+                    # SN u is read, not updated (advanced separately below)
+                    variables = {
+                        "params": _c16(slice_e(d_params, e)),
+                        **{k: slice_e(v, e) for k, v in state.disc.stats.items()},
+                    }
+                    s, latent = disc_single.apply(
+                        variables, _c16(chunk["img"]), _c16(chunk["c"]), False
+                    )
+                    return s.astype(jnp.float32), latent.astype(jnp.float32)
+
+                return fn
+
+            return [mk(e) for e in range(E)]
+
+        def aux_fns(a_params, ka):
+            def mk(e):
+                def fn(chunk):
+                    rng = jax.random.fold_in(jax.random.fold_in(ka, e), chunk["rid"][0])
+                    out = aux_single.apply(
+                        {"params": _c16(slice_e(a_params, e))},
+                        _c16(chunk["img"]), True, rngs={"dropout": rng},
+                    )
+                    return out.astype(jnp.float32)
+
+                return fn
+
+            return [mk(e) for e in range(E)]
+
+        # ------ discriminator update ------
+        fake_1 = jax.lax.stop_gradient(
+            tiled_switch_apply(
+                gen_fns(state.gen.params, k_g1), idx,
+                {"z": noise_1, "c": cond, "rid": rid2[:B]}, tile=switch_tile,
+            )
+        )  # [B, H, W, 1] routed
+
+        def d_loss_fn(d_params):
+            s, _ = tiled_switch_apply(
+                disc_fns(d_params), idx2,
+                {"img": jnp.concatenate([real, fake_1]), "c": cond2},
+                tile=switch_tile,
+            )
+            real_sc, fake_sc = s[:B, 0], s[B:, 0]
+            d_loss_e = _hinge_d_r(real_sc, fake_sc, masks)
+            d_weighted = d_loss_e * w * active_f
+            return jnp.sum(d_weighted), d_weighted
+
+        d_grads, disc_loss_e = jax.grad(d_loss_fn, has_aux=True)(state.disc.params)
+        # SN power iteration is data-independent: one dense 1-sample forward
+        # advances u/v per expert at negligible cost.
+        _, disc_stats_adv = disc_forward(
+            state.disc.params, state.disc.stats, real[None, :1].repeat(E, 0), cond[:1]
+        )
+        disc_new = masked_expert_update(
+            txs["disc"], state.disc, d_grads, active, new_stats=disc_stats_adv
+        )
+
+        # ------ generator + aux update vs the updated discriminator ------
+        def g_loss_fn(g_params, a_params):
+            fakes = tiled_switch_apply(
+                gen_fns(g_params, k_g2), idx2,
+                {"z": noise12, "c": cond2, "rid": rid2}, tile=switch_tile,
+            )
+            fake1, fake2 = fakes[:B], fakes[B:]
+            s, latents = tiled_switch_apply(
+                disc_fns(disc_new.params), idx2,
+                {"img": jnp.concatenate([fake1, fake2]), "c": cond2},
+                tile=switch_tile,
+            )
+            s1, l1 = s[:B, 0], latents[:B]
+            s2, l2 = s[B:, 0], latents[B:]
+            aux_pred = tiled_switch_apply(
+                aux_fns(a_params, k_aux), idx,
+                {"img": fake1, "rid": rid2[:B]}, tile=switch_tile,
+            )
+
+            hinge_e = _hinge_g_r(s1, masks)
+            div_e = _sdi_r(l1, l2, noise_1, noise_2, std, di_strength, masks, sdi_quirk)
+            int_loss_e, sums_r, std_int_e, mean_int_e = _intensity_r(
+                fake1, intensity, in_strength, masks
+            )
+            aux_loss_e = _log_cosh_r(positions, aux_pred, masks) * aux_strength
+
+            gen_total_e = (hinge_e + div_e + int_loss_e + aux_loss_e) * w * active_f
+            aux_out = dict(
+                gen_loss_e=gen_total_e, div_loss_e=div_e, intensity_loss_e=int_loss_e,
+                aux_loss_e=aux_loss_e, mean_int_e=mean_int_e, std_int_e=std_int_e,
+                sums_routed=sums_r[0],
+            )
+            return jnp.sum(gen_total_e), aux_out
+
+        (g_grads, a_grads), gaux = jax.grad(g_loss_fn, argnums=(0, 1), has_aux=True)(
+            state.gen.params, state.aux.params
+        )
+        gen_new = masked_expert_update(txs["gen"], state.gen, g_grads, active)
+        aux_new = masked_expert_update(txs["aux"], state.aux, a_grads, active)
+        _, disc_stats_adv2 = disc_forward(
+            disc_new.params, disc_new.stats, real[None, :1].repeat(E, 0), cond[:1]
+        )
+        disc_new = Component(
+            params=disc_new.params,
+            stats=jax.tree_util.tree_map(
+                lambda n, o: jnp.where(
+                    active.reshape((E,) + (1,) * (n.ndim - 1)), n, o
+                ) if n.ndim >= 1 and n.shape[0] == E else n,
+                disc_stats_adv2, disc_new.stats,
+            ),
+            opt_state=disc_new.opt_state,
+        )
+        ema_params = ema_update(state.ema_gen_params, gen_new.params, ema_decay)
+
+        sums_routed = jax.lax.stop_gradient(gaux["sums_routed"])
+        mean_int_e_det = jax.lax.stop_gradient(gaux["mean_int_e"]) * active_f
+        gen_loss_e_det = jax.lax.stop_gradient(gaux["gen_loss_e"])
+
+        # ------ router update (constant GAN term — see block comment) ------
+        def r_loss_fn(r_params):
+            _, logits_r = router_mod.apply({"params": r_params}, cond)
+            soft_r = jax.nn.softmax((logits_r + gumbel_noise) / tau, axis=-1)
+            hard = jax.nn.one_hot(idx, E, dtype=soft_r.dtype)
+            gates_st = hard + soft_r - jax.lax.stop_gradient(soft_r)
+            gan_term = jnp.mean(gen_loss_e_det) * gan_strength
+            entropy_term = (
+                -expert_utilization_entropy(soft_r, util_strength)
+                if util_strength != 0.0 else jnp.asarray(0.0)
+            )
+            ed_term = (
+                expert_distribution_loss(gates_st, sums_routed[:, None]) * ed_strength
+                if ed_strength != 0.0 else jnp.asarray(0.0)
+            )
+            diff_term = (
+                -differentiation_loss(mean_int_e_det) * diff_strength
+                if diff_strength != 0.0 else jnp.asarray(0.0)
+            )
+            alb_term = (
+                adaptive_load_balancing_loss(jnp.sum(soft_r, axis=0), alb_strength)
+                if alb_strength != 0.0 else jnp.asarray(0.0)
+            )
+            decreasing_w = alb_annealing_weight(epoch_f, alpha, min_weight)
+            loss = ed_term + gan_term + diff_term + entropy_term + decreasing_w * alb_term
+            return loss, dict(
+                gan=gan_term, entropy=entropy_term, ed=ed_term, diff=diff_term, alb=alb_term
+            )
+
+        r_grads, raux = jax.grad(r_loss_fn, has_aux=True)(state.router.params)
+        router_enabled = (
+            jnp.asarray(True)
+            if stop_epoch is None
+            else jnp.asarray(epoch, jnp.int32) < int(stop_epoch)
+        )
+        router_new = gated_update(txs["router"], state.router, r_grads, router_enabled)
+        router_loss = jnp.where(
+            router_enabled,
+            raux["ed"] + raux["gan"] + raux["diff"] + raux["entropy"]
+            + alb_annealing_weight(epoch_f, alpha, min_weight) * raux["alb"],
+            0.0,
+        )
+
+        new_state = MoETrainState(
+            gen=gen_new, disc=disc_new, aux=aux_new, router=router_new,
+            ema_gen_params=ema_params, step=state.step + 1,
+        )
+        zero_inactive = lambda x: jnp.where(active, x, 0.0)
+        metrics = {
+            "gen_loss": jnp.mean(gen_loss_e_det),
+            "disc_loss": jnp.mean(jax.lax.stop_gradient(disc_loss_e)),
+            "div_loss": jnp.mean(zero_inactive(gaux["div_loss_e"])),
+            "intensity_loss": jnp.mean(zero_inactive(gaux["intensity_loss_e"])),
+            "aux_reg_loss": jnp.mean(zero_inactive(gaux["aux_loss_e"])),
+            "router_loss": router_loss,
+            "expert_distribution_loss": raux["ed"],
+            "differentiation_loss": -raux["diff"],
+            "expert_entropy_loss": raux["entropy"],
+            "adaptive_load_balancing_loss": raux["alb"],
+            "gan_loss": raux["gan"],
+            "tau": tau,
+            "gen_loss_experts": gen_loss_e_det,
+            "disc_loss_experts": jax.lax.stop_gradient(disc_loss_e),
+            "div_loss_experts": zero_inactive(gaux["div_loss_e"]),
+            "intensity_loss_experts": zero_inactive(gaux["intensity_loss_e"]),
+            "aux_reg_loss_experts": zero_inactive(gaux["aux_loss_e"]),
+            "std_intensities_experts": zero_inactive(gaux["std_int_e"]),
+            "mean_intensities_experts": mean_int_e_det,
+            "n_choosen_experts_mean_epoch": w,
+        }
+        return new_state, jax.lax.stop_gradient(metrics)
+
+    if use_switch:
+        return jax.jit(train_step_switch, donate_argnums=(0,))
 
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
