@@ -289,3 +289,17 @@ def test_build_moe_neutron_masked_stacking():
     ])
     moe_gn = build_moe(cfg_gn)
     assert moe_gn.generator_masked is None and moe_gn.aux_reg_masked is None
+
+
+def test_masked_batchnorm_zeroes_unrouted_rows():
+    """Unrouted rows must come out EXACTLY zero (dead rows stay bounded —
+    see MaskedBatchNorm docstring; the round-3 neutron NaN)."""
+    from zdcsim.models.layers import MaskedBatchNorm
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 5)) * 100.0  # wild rows
+    mask = jnp.asarray([1, 0, 1, 0, 1, 0, 1, 0], jnp.float32)
+    layer = MaskedBatchNorm()
+    variables = layer.init(jax.random.PRNGKey(1), x, mask, True)
+    y, _ = layer.apply(variables, x, mask, True, mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(y)[1::2], 0.0)
+    assert np.abs(np.asarray(y)[::2]).max() > 0.0

@@ -89,6 +89,15 @@ class MaskedBatchNorm(nn.Module):
     stores unbiased; momentum 0.9 matches torch's default 0.1 complement.
     Cross-device sync: set ``axis_name`` to psum the weighted sums over a
     data-parallel mesh axis.
+
+    UNROUTED rows are ZEROED in the output (train mode with a mask). They
+    are semantically dead — every loss, statistic, and photon sum is masked
+    — but if left normalized by another sub-batch's statistics their
+    magnitudes compound across stacked BN layers until they overflow, and
+    ``inf * 0`` in the downstream masked reductions poisons the whole step
+    with NaNs (observed: round-3 neutron masked-BN run NaN'd at epoch ~6
+    exactly this way). Zeroing keeps every dead row bounded; routed rows
+    are untouched, so the subset-forward equivalence above is unchanged.
     """
 
     momentum: float = 0.9
@@ -144,6 +153,10 @@ class MaskedBatchNorm(nn.Module):
 
         y = centered * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        if train and mask is not None:
+            y = y * mask.astype(jnp.float32).reshape(
+                (x.shape[0],) + (1,) * (x.ndim - 1)
+            )
         return y.astype(x.dtype)
 
 
