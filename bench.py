@@ -37,6 +37,10 @@ def main() -> int:
     # v5e; WS fidelity delta vs bf16 gated in BENCH_LOG.md). Best measured:
     # B=32768, tile=64 -> 40.1k showers/s (experiments/perf_sweep2_r2.py);
     # first fallback B=8192, then bulk bf16, per-call switch bf16, dense.
+    # NOTE: "int8_pallas" (round-3 fused Pallas decode kernels) enters this
+    # ladder first IF experiments/perf_serve_r3.py measures it faster —
+    # the ladder takes the first success, so ordering is a measurement
+    # decision, not a default.
     stats = None
     for precision, batch, bulk in (("int8", 32768, True), ("int8", 8192, True),
                                    ("bf16", 8192, True), ("bf16", 4096, False)):

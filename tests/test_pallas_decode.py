@@ -114,3 +114,61 @@ def test_phase_kernel_algebra_matches_float_path():
     # float phase conv path (proton_fast) is the ground truth of the algebra
     out = fused_upsample2_conv4(x, kernel, jnp.zeros((cout,)))
     assert out.shape == (1, 2 * h - 1, 2 * w - 1, cout)
+
+
+def test_gn_leaky_rowquant_matches_reference():
+    from zdcsim.models.proton_fast import _group_norm
+    from zdcsim.ops.pallas_decode import gn_leaky_rowquant
+
+    # c=64 -> group_norm_groups(64, 32) == 32: the reference and the kernel
+    # agree on the group count without patching (production Conv_0/Conv_1
+    # channels are 256/128 -> 32 groups too).
+    b, h, w, c, groups = 4, 5, 3, 64, 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, c)) * 2.0
+    scale = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (c,))) + 0.5
+    bias = jax.random.normal(jax.random.PRNGKey(2), (c,)) * 0.3
+
+    q, s = gn_leaky_rowquant(x, scale, bias, groups=groups, block_rows=2, interpret=True)
+    # reference: flax-style GroupNorm (proton_fast._group_norm) + leaky + quant
+    from zdcsim.models import proton_fast as pf
+
+    z = pf._group_norm(x, {"scale": scale, "bias": bias}, c)
+    z = jnp.where(z >= 0, z, 0.1 * z)
+    s_ref = jnp.maximum(
+        jnp.max(jnp.abs(z.reshape(b, -1)), axis=1, keepdims=True) / 127.0, 1e-12
+    )
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-4)
+    deq = np.asarray(q, np.float32).reshape(b, -1) * np.asarray(s)
+    np.testing.assert_allclose(
+        deq, np.asarray(z.reshape(b, -1)),
+        atol=float(np.asarray(s).max()) * 0.75 + 1e-6,
+    )
+
+
+def test_row_resize_conv4_int8_matches_float_path():
+    """Kernel D vs the exact float row-resize conv on dequantized data —
+    error bounded by the int8 quantization budget. Uses the PRODUCTION
+    35->56 stride-5 row-phase plan."""
+    from zdcsim.models.proton_fast import fused_row_resize_conv4
+    from zdcsim.ops.pallas_decode import row_resize_conv4_int8
+
+    b, h_src, w, cin, cout = 2, 35, 6, 8, 4
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, h_src, w, cin))
+    kernel = jax.random.normal(jax.random.PRNGKey(4), (4, 4, cin, cout)) * 0.2
+    bias = jax.random.normal(jax.random.PRNGKey(5), (cout,)) * 0.1
+
+    s = jnp.max(jnp.abs(x.reshape(b, -1)), axis=1) / 127.0
+    xq = jnp.clip(jnp.round(x / s[:, None, None, None]), -127, 127).astype(jnp.int8)
+    out = row_resize_conv4_int8(
+        xq, s, kernel, bias, 56, out_dtype=jnp.float32, block_rows=2, interpret=True
+    )[:, :, : w - 1]
+    # identity col-resize (w_in == n_cols) -> reference handles rows only
+    exact = fused_row_resize_conv4(x, kernel, bias, 56, w)
+    assert out.shape == exact.shape == (b, 55, w - 1, cout)
+    denom = float(jnp.max(jnp.abs(exact)))
+    rel = float(jnp.max(jnp.abs(out - exact))) / denom
+    assert rel < 0.05, f"int8 deviation {rel:.4f}"
+    # correlation check: indexing errors destroy agreement even within 5%
+    flat_a, flat_b = np.asarray(out).ravel(), np.asarray(exact).ravel()
+    cc = np.corrcoef(flat_a, flat_b)[0, 1]
+    assert cc > 0.999, f"corr {cc}"

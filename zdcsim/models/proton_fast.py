@@ -408,15 +408,31 @@ def fast_generator_apply(
             x = fused_upsample2_conv4_int8(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
         else:
             x = fused_upsample2_conv4(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
-    x = _group_norm(x, p["GroupNorm2d_0"]["GroupNorm_0"], 256)
-    x = _leaky(x)
+    if use_pallas:
+        # GN + leaky + per-sample requant in one pass (kernel C), int8
+        # column gather (cheap XLA), then the row-phase conv on the int8
+        # MXU with fused dequant + interleave (kernel D).
+        import numpy as np
 
-    # resize to 56x30 + Conv_1 4x4 pad1 -> row-duplication folded into
-    # per-phase strided convs (55x29x128)
-    if int8:
-        x = fused_row_resize_conv4_int8(x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30)
+        from zdcsim.ops.pallas_decode import gn_leaky_rowquant, row_resize_conv4_int8
+
+        gn0 = p["GroupNorm2d_0"]["GroupNorm_0"]
+        xq1, sx1 = gn_leaky_rowquant(x, gn0["scale"], gn0["bias"], groups=32)
+        col_map = np.floor((np.arange(30) + 0.5) * 19 / 30).astype(int)
+        x = row_resize_conv4_int8(
+            xq1[:, :, col_map, :], sx1, p["Conv_1"]["kernel"], p["Conv_1"]["bias"],
+            56, out_dtype=noise.dtype,
+        )[:, :, :29]
     else:
-        x = fused_row_resize_conv4(x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30)
+        x = _group_norm(x, p["GroupNorm2d_0"]["GroupNorm_0"], 256)
+        x = _leaky(x)
+
+        # resize to 56x30 + Conv_1 4x4 pad1 -> row-duplication folded into
+        # per-phase strided convs (55x29x128)
+        if int8:
+            x = fused_row_resize_conv4_int8(x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30)
+        else:
+            x = fused_row_resize_conv4(x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30)
     x = _group_norm(x, p["GroupNorm2d_1"]["GroupNorm_0"], 128)
     x = _leaky(x)
 

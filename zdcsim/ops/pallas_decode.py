@@ -228,6 +228,17 @@ def up2_conv4_int8(
     m = tb * h * w
     grid = (b // tb,)
 
+    out = _call_up2(xq, sx, kq, sk, bias, h, w, cin, cout, tb, out_dtype, interpret)
+    # fused interleave: [B, H, 2, W, 2, C] == rows/cols interleaved; trim the
+    # out-of-range odd-phase tail exactly like the XLA interleave path.
+    return out.reshape(b, 2 * h, 2 * w, cout)[:, : 2 * h - 1, : 2 * w - 1, :]
+
+
+def _call_up2(xq, sx, kq, sk, bias, h, w, cin, cout, tb, out_dtype, interpret):
+    b = xq.shape[0]
+    m = tb * h * w
+    n_taps = kq.shape[0]
+    grid = (b // tb,)
     out = pl.pallas_call(
         _make_conv_kernel(h, w, tb, out_dtype),
         grid=grid,
@@ -249,6 +260,255 @@ def up2_conv4_int8(
         ],
         interpret=interpret,
     )(xq.reshape(b, h * w, cin), sx, kq, sk, bias.reshape(1, cout))
-    # fused interleave: [B, H, 2, W, 2, C] == rows/cols interleaved; trim the
-    # out-of-range odd-phase tail exactly like the XLA interleave path.
-    return out.reshape(b, 2 * h, 2 * w, cout)[:, : 2 * h - 1, : 2 * w - 1, :]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Kernel C: fused GroupNorm + LeakyReLU + per-sample int8 quantization
+# ---------------------------------------------------------------------------
+
+def _make_gn_kernel(h, w, c, groups, tb):
+    hw = h * w
+    cg = c // groups
+
+    def kernel(x_ref, gmat_ref, scale_ref, bias_ref, q_ref, s_ref):
+        x = x_ref[:].astype(jnp.float32).reshape(tb, hw, c)
+        gmat = gmat_ref[:].astype(jnp.float32)  # [C, G] 0/1 group membership
+        # per-(sample, group) stats WITHOUT lane-crossing reshapes: group
+        # sums via an MXU contraction against the membership matrix.
+        s1 = jnp.einsum("bpc,cg->bg", x, gmat)  # [TB, G]
+        s2 = jnp.einsum("bpc,cg->bg", x * x, gmat)
+        cnt = float(hw * cg)
+        mu_g = s1 / cnt
+        var_g = jnp.maximum(s2 / cnt - mu_g * mu_g, 0.0)
+        mu_c = jnp.einsum("bg,cg->bc", mu_g, gmat)  # broadcast back per channel
+        inv_c = jnp.einsum("bg,cg->bc", jax.lax.rsqrt(var_g + 1e-6), gmat)
+        y = (x - mu_c[:, None, :]) * inv_c[:, None, :]
+        y = y * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+        y = jnp.where(y >= 0, y, 0.1 * y)
+        mx = jnp.max(jnp.abs(y.reshape(tb, hw * c)), axis=1, keepdims=True)
+        s = jnp.maximum(mx / 127.0, 1e-12)  # [TB, 1]
+        q_ref[:] = (
+            jnp.clip(jnp.round(y / s[:, :, None]), -127, 127)
+            .astype(jnp.int8).reshape(tb, hw, c)
+        )
+        s_ref[:] = s
+
+    return kernel
+
+
+def gn_leaky_rowquant(
+    x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, groups: int = 32,
+    block_rows: int = 4, interpret: bool | None = None,
+):
+    """``GroupNorm(x)*scale+bias -> LeakyReLU(0.1) -> per-sample int8``.
+
+    x: [B, H, W, C] (NHWC); GroupNorm statistics per (sample, group) over
+    H, W and the group's channels, matching ``flax.linen.GroupNorm`` /
+    ``proton_fast._group_norm``. Returns ``(q [B, H, W, C] int8,
+    s [B, 1] f32)``. One HBM read, one (int8) write — the conv0 -> conv1
+    bridge of the serving decode. Group sums are MXU contractions against a
+    0/1 membership matrix (no lane-crossing reshapes on TPU).
+
+    NOTE: group variance uses the one-pass E[x^2]-E[x]^2 form in f32 —
+    adequate for post-GN activation scales (values O(1)); exactness vs the
+    two-pass XLA GN is tested to 1e-4.
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    b, h, w, c = x.shape
+    assert c % groups == 0
+    tb = block_rows
+    while b % tb:
+        tb //= 2
+    tb = max(tb, 1)
+    gmat = jnp.asarray(
+        (jnp.arange(c)[:, None] // (c // groups)) == jnp.arange(groups)[None, :],
+        jnp.float32,
+    )
+    q, s = pl.pallas_call(
+        _make_gn_kernel(h, w, c, groups, tb),
+        grid=(b // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, h * w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, groups), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, h * w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h * w, c), jnp.int8),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x.reshape(b, h * w, c), gmat, scale.reshape(1, c), bias.reshape(1, c))
+    return q.reshape(b, h, w, c), s
+
+
+# ---------------------------------------------------------------------------
+# Kernel D: int8 row-resize conv (Conv_1) — phase-im2col in VMEM
+# ---------------------------------------------------------------------------
+
+def _row_phase_plan(n_in: int, n_out: int, ksize: int, pad: int):
+    from zdcsim.models.proton_fast import _row_phase_plan as plan
+
+    return plan(n_in, n_out, ksize, pad)
+
+
+def _quant_row_phases(w: jnp.ndarray, plans):
+    """Per-phase merged row-group kernels, padded to a uniform group count.
+
+    w: [4, 4, cin, cout]. Returns ``(kq [Q, maxL*4, cin, cout] int8,
+    sk [Q, cout] f32, taps [Q][maxL] row-offset table, maxL)``.
+    """
+    w = w.astype(jnp.float32)
+    max_l = max(len(groups) for _, groups, _ in plans)
+    kqs, sks, offsets = [], [], []
+    for d0, groups, _ in plans:
+        ks = [sum(w[a] for a in taps) for _, taps in groups]  # each [4, cin, cout]
+        ks += [jnp.zeros_like(ks[0])] * (max_l - len(ks))
+        k_p = jnp.stack(ks)  # [maxL, 4, cin, cout]
+        s = jnp.maximum(jnp.max(jnp.abs(k_p), axis=(0, 1, 2)) / 127.0, 1e-12)
+        kqs.append(jnp.clip(jnp.round(k_p / s), -127, 127).astype(jnp.int8)
+                   .reshape(max_l * 4, k_p.shape[2], k_p.shape[3]))
+        sks.append(s)
+        offs = [d for d, _ in groups] + [groups[0][0]] * (max_l - len(groups))
+        offsets.append(offs)
+    return jnp.stack(kqs), jnp.stack(sks), offsets, max_l
+
+
+def _make_rowconv_kernel(tb, q_phases, w_cols, cin, cout, max_l, offsets,
+                         h_src, out_dtype):
+    """Conv_1 kernel body. Source rows padded to R5 = ceil((h_src+1+3)/5)*5
+    and viewed as [n_g = R5/5 groups x 5 subrows]; each phase contracts a
+    VMEM im2col operand [M, maxL*4*cin] against its flattened kernel.
+
+    The phase computes n_g output rows per sample (not the n_r valid ones):
+    flattening output and source over the SAME [TB, n_g, W] grid makes every
+    tap a constant flat shift ``gsh*W + (b-1)`` — with fewer output rows the
+    per-sample strides would differ and the shift would depend on the sample
+    index (the round-3 first-cut bug). Surplus rows are masked garbage,
+    trimmed by the caller's interleave slice."""
+    r5 = -(-(h_src + 1 + 3) // 5) * 5
+    n_g = r5 // 5
+    m = tb * n_g * w_cols
+
+    def kernel(x_ref, sx_ref, kq_ref, sk_ref, bias_ref, out_ref, xpad, col):
+        # x_ref: [TB, h_src, w_cols, cin] int8
+        xpad[:, 1:1 + h_src] = x_ref[:]
+        bias = bias_ref[:].astype(jnp.float32)
+        sx = sx_ref[:].astype(jnp.float32)
+        midx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        r_of = (midx // w_cols) % n_g
+        j_of = midx % w_cols
+
+        for p in range(q_phases):
+            # build the phase's im2col operand in VMEM
+            for l in range(max_l):
+                d = offsets[p][l]
+                c_sub = (1 + d) % 5
+                gsh = (1 + d) // 5
+                xs_full = xpad[:].reshape(tb, n_g, 5, w_cols, cin)[:, :, c_sub]
+                xs_flat = xs_full.reshape(tb * n_g * w_cols, cin)
+                for bcol in range(4):
+                    shift = gsh * w_cols + (bcol - 1)
+                    lo = max(shift, 0)
+                    # static roll via two-slice paste (shift in [-1, ~8*30])
+                    seg = xs_flat[lo:lo + m]
+                    if seg.shape[0] < m:
+                        seg = jnp.concatenate(
+                            [seg, jnp.zeros((m - seg.shape[0], cin), jnp.int8)]
+                        )
+                    if shift < 0:
+                        seg = jnp.concatenate(
+                            [jnp.zeros((-shift, cin), jnp.int8), seg[:m + shift]]
+                        )
+                    jc = j_of + (bcol - 1)
+                    g_idx = r_of + gsh
+                    src_row = 5 * g_idx + c_sub
+                    valid = (
+                        (jc >= 0) & (jc < w_cols)
+                        & (src_row >= 1) & (src_row <= h_src) & (g_idx < n_g)
+                    )
+                    col[:, (l * 4 + bcol) * cin:(l * 4 + bcol + 1) * cin] = (
+                        jnp.where(valid, seg, jnp.int8(0))
+                    )
+            acc = jax.lax.dot_general(
+                col[:], kq_ref[p].reshape(max_l * 4 * cin, cout),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            sk = sk_ref[p].astype(jnp.float32)
+            val = acc.astype(jnp.float32) * sk[None, :]
+            val = val.reshape(tb, n_g * w_cols, cout) * sx[:, :, None] + bias[None, None, :]
+            out_ref[:, :, p, :, :] = (
+                val.reshape(tb, n_g, w_cols, cout).astype(out_dtype)
+            )
+
+    return kernel, r5, n_g
+
+
+def row_resize_conv4_int8(
+    xq: jnp.ndarray, sx: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+    n_resized_rows: int, out_dtype=jnp.bfloat16, block_rows: int = 4,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """``conv4x4(pad1, resize_rows(x, n_resized_rows))`` on the int8 MXU.
+
+    The Conv_1 pendant of :func:`up2_conv4_int8`: the nearest row-resize
+    (35 -> 56 for the proton generator) has period-q row phases
+    (``proton_fast._row_phase_plan``); each phase's merged row-group x
+    column taps are gathered into ONE VMEM im2col operand and contracted in
+    a single deep int8 matmul (K = maxL*4*Cin), with dequant + bias + the
+    phase interleave fused into the output layout. Columns must already be
+    resized (the XLA gather is cheap); xq: [B, H_src, W, Cin] int8 with
+    per-sample scales sx.
+
+    Returns [B, n_resized_rows - 1, W, Cout] (callers trim columns to the
+    conv-valid W - 1, matching ``fused_row_resize_conv4``).
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    b, h_src, w_cols, cin = xq.shape
+    cout = kernel.shape[-1]
+    q_phases, p_num, plans = _row_phase_plan(h_src, n_resized_rows, 4, 1)
+    assert p_num == 5, "kernel specialized to the 35->56 stride-5 plan"
+    kq, sk, offsets, max_l = _quant_row_phases(kernel, plans)
+    sx = sx.reshape(b, 1).astype(jnp.float32)
+
+    tb = block_rows
+    while b % tb:
+        tb //= 2
+    tb = max(tb, 1)
+    body, r5, n_g = _make_rowconv_kernel(
+        tb, q_phases, w_cols, cin, cout, max_l, offsets, h_src, out_dtype
+    )
+    m = tb * n_g * w_cols
+    out = pl.pallas_call(
+        body,
+        grid=(b // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, h_src, w_cols, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_phases, max_l * 4, cin, cout), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_phases, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tb, n_g, q_phases, w_cols, cout), lambda i: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_g, q_phases, w_cols, cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tb, r5, w_cols, cin), jnp.int8),
+            pltpu.VMEM((m, max_l * 4 * cin), jnp.int8),
+        ],
+        interpret=interpret,
+    )(xq, sx, kq, sk, bias.reshape(1, cout))
+    # phase interleave: row i = r*q + p; trim to the valid row count
+    return out.reshape(b, n_g * q_phases, w_cols, cout)[:, : n_resized_rows - 1]
