@@ -315,3 +315,52 @@ def test_native_numpy_fallbacks(monkeypatch, rng):
     )
     for a, b in zip(with_lib, without):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_dataset_analysis_report(tmp_path):
+    """Report generation covers the reference notebooks' analysis_report.txt
+    (coordinate stats, photon-sum quartiles, intensity correlations)."""
+    import numpy as np
+
+    from zdcsim.evals.report import dataset_analysis_report
+
+    rng = np.random.default_rng(0)
+    imgs = rng.gamma(0.2, 10.0, size=(32, 12, 8)) * (rng.random((32, 12, 8)) < 0.2)
+    text = dataset_analysis_report(imgs, n_before_filter=40, title="test set")
+    for needle in (
+        "Coordinate Distribution Analysis", "Reducing the data from: 40 to 32",
+        "max_x", "center_y", "Photon-Sum Analysis", "quartiles",
+        "Correlation between mean image intensity and max_y",
+        "Analysis Complete",
+    ):
+        assert needle in text, needle
+
+
+def test_prep_cli_report(tmp_path):
+    """--report writes analysis_report.txt next to the prepared pickles."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    pd = pytest.importorskip("pandas")
+    from zdcsim.data.prep import COND_COLUMNS, main
+
+    rng = np.random.default_rng(1)
+    n = 16
+    imgs = rng.gamma(0.2, 10.0, size=(n, 10, 6)) * (rng.random((n, 10, 6)) < 0.3)
+    cond_df = pd.DataFrame({c: rng.normal(size=n) for c in COND_COLUMNS})
+    pd.to_pickle(imgs, tmp_path / "raw_imgs.pkl")
+    pd.to_pickle(cond_df, tmp_path / "raw_cond.pkl")
+    main([
+        "--raw-images", str(tmp_path / "raw_imgs.pkl"),
+        "--raw-cond", str(tmp_path / "raw_cond.pkl"),
+        "--zdc-type", "proton",
+        "--out-images", str(tmp_path / "out_imgs.pkl"),
+        "--out-cond", str(tmp_path / "out_cond.pkl"),
+        "--out-positions", str(tmp_path / "out_pos.pkl"),
+        "--report",
+    ])
+    report = tmp_path / "analysis_report.txt"
+    assert report.exists()
+    assert "Analysis Complete" in report.read_text()

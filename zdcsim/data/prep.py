@@ -220,6 +220,11 @@ def main(argv=None) -> None:
     parser.add_argument("--out-images", required=True)
     parser.add_argument("--out-cond", required=True)
     parser.add_argument("--out-positions", required=True)
+    parser.add_argument(
+        "--report", action="store_true",
+        help="write analysis_report.txt (coordinate/photon-sum/correlation "
+        "analyses — the reference notebooks' report) next to --out-images",
+    )
     args = parser.parse_args(argv)
 
     import pandas as pd
@@ -229,6 +234,22 @@ def main(argv=None) -> None:
     cond = {c: raw_cond_df[c].to_numpy() for c in COND_COLUMNS}
     ds = prepare_dataset(raw_images, cond, args.zdc_type, args.min_photon_sum, args.max_photon_sum)
     save_prepared(ds, args.out_images, args.out_cond, args.out_positions)
+    if args.report:
+        import os
+
+        from zdcsim.evals.report import dataset_analysis_report
+
+        text = dataset_analysis_report(
+            np.expm1(ds.images),
+            photon_sums=np.asarray(ds.cond[f"{args.zdc_type}_photon_sum"]),
+            n_before_filter=raw_images.shape[0],
+            title=f"zdcsim {args.zdc_type} dataset analysis",
+        )
+        path = os.path.join(os.path.dirname(os.path.abspath(args.out_images)),
+                            "analysis_report.txt")
+        with open(path, "w") as f:
+            f.write(text)
+        log.info("Analysis report written to %s", path)
 
 
 if __name__ == "__main__":
