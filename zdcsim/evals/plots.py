@@ -115,7 +115,8 @@ def plot_expert_specialization(
                 except np.linalg.LinAlgError:
                     continue
             ax.set_title(name)
-        ax.legend(loc="upper right", fontsize="x-small")
+        if ax.get_legend_handles_labels()[1]:
+            ax.legend(loc="upper right", fontsize="x-small")
     fig.tight_layout(rect=[0, 0.03, 1, 0.95])
     plt.close(fig)
     return fig
