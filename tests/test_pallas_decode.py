@@ -172,3 +172,32 @@ def test_row_resize_conv4_int8_matches_float_path():
     flat_a, flat_b = np.asarray(out).ravel(), np.asarray(exact).ravel()
     cc = np.corrcoef(flat_a, flat_b)[0, 1]
     assert cc > 0.999, f"corr {cc}"
+
+
+def test_decode_backend_pallas_ab_close_to_xla_int8():
+    """`int8_backend="pallas_ab"` (Pallas fused LN-quant + Conv_0, XLA int8
+    for the rest — the measured production mix, experiments/perf_serve_r3.py)
+    stays within quantization distance of the XLA int8 decode, and both stay
+    within int8 distance of the float decode."""
+    import jax
+    import numpy as np
+
+    from zdcsim.models.proton import Generator
+    from zdcsim.models.proton_fast import fast_generator_apply
+
+    key = jax.random.PRNGKey(11)
+    gen = Generator()
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (4, 10))
+    cond = jax.random.normal(jax.random.fold_in(key, 2), (4, 9))
+    variables = gen.init({"params": jax.random.PRNGKey(5)}, noise, cond, False)
+    p = variables["params"]
+
+    ref = np.asarray(fast_generator_apply(p, noise, cond))
+    scale = np.abs(ref).max()
+    for backend in ("pallas_ab", "pallas"):
+        out = np.asarray(
+            fast_generator_apply(p, noise, cond, int8=True, int8_backend=backend)
+        )
+        assert out.shape == ref.shape
+        err = np.abs(out - ref).max()
+        assert err < 0.05 * scale + 0.05, (backend, err, scale)

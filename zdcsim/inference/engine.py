@@ -82,17 +82,23 @@ class FastSim:
         self._mesh = mesh
         h, w = modules.image_shape
         self.image_shape = (h, w)
+        _int8_precisions = ("int8", "int8_pallas", "int8_pallas_ab")
         dtype = (
-            jnp.bfloat16 if precision in ("bf16", "int8", "int8_pallas") else jnp.float32
+            jnp.bfloat16 if precision in ("bf16",) + _int8_precisions
+            else jnp.float32
         )
         self._dtype = dtype
         self._int8 = (
-            precision in ("int8", "int8_pallas")
+            precision in _int8_precisions
             and fast and modules.names.get("generator") == "Generator"
         )
-        # "int8_pallas": fused Pallas LN-quant + phase-conv kernels
-        # (zdcsim/ops/pallas_decode.py) instead of the XLA int8 convs.
-        self._int8_backend = "pallas" if precision == "int8_pallas" else "xla"
+        # "int8_pallas": all four fused Pallas decode kernels
+        # (zdcsim/ops/pallas_decode.py); "int8_pallas_ab": Pallas only for
+        # the measured winners (fused LN-quant + all-phase Conv_0), XLA int8
+        # for the rest — see fast_generator_apply docstring.
+        self._int8_backend = {
+            "int8_pallas": "pallas", "int8_pallas_ab": "pallas_ab"
+        }.get(precision, "xla")
 
         gen_params = _cast_tree(gen_params, dtype)
         gen_stats = _cast_tree(gen_stats, dtype)

@@ -249,6 +249,18 @@ def _conv_i8(x, k, pad):
     )
 
 
+def conv3x3_int8(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """Plain pad-1 conv on the int8 MXU (per-cout weight scales, dynamic
+    per-tensor activation scale) — used for Conv_2 in the int8 serving
+    decode; a GroupNorm follows, so quantization error is renormalized
+    exactly like Conv_0/Conv_1's."""
+    xq, sx = _quant_act(x)
+    kq, sk = _quant_per_cout(kernel)
+    dq = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    y = _conv_i8(xq, kq, ((1, 1), (1, 1)))
+    return (y.astype(dq) * (sk * sx).astype(dq) + bias.astype(dq)).astype(x.dtype)
+
+
 def fused_upsample2_conv4_int8(
     x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray
 ) -> jnp.ndarray:
@@ -273,11 +285,17 @@ def fused_upsample2_conv4_int8(
     k_oe, k_oo = split_cols(k_or)
 
     xq, sx = _quant_act(x)
+    # Dequant/interleave in the caller's compute dtype: in bf16 serving this
+    # halves the phase-output HBM traffic (measured lever — the f32
+    # intermediates were ~2x the conv0 dequant+interleave bytes); the GN
+    # that follows renormalizes scale, so bf16 dequant rounding (~0.4%
+    # relative) is below the int8 quantization noise already accepted here.
+    dq = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
 
     def qconv(k, pad):
         kq, sk = _quant_per_cout(k)
         y = _conv_i8(xq, kq, pad)
-        return y.astype(jnp.float32) * (sk * sx)
+        return y.astype(dq) * (sk * sx).astype(dq)
 
     y_ee = qconv(k_ee, ((1, 1), (1, 1)))
     y_eo = qconv(k_eo, ((1, 1), (0, 0)))
@@ -287,9 +305,7 @@ def fused_upsample2_conv4_int8(
     rows_even = _interleave(y_ee, y_eo, axis=2)
     rows_odd = _interleave(y_oe, y_oo, axis=2)
     out = _interleave(rows_even, rows_odd, axis=1)
-    # back to the caller's compute dtype (bf16 serving): GN follows, so the
-    # f32 dequant precision is not load-bearing past this point
-    return (out + bias.astype(jnp.float32)).astype(x.dtype)
+    return (out + bias.astype(dq)).astype(x.dtype)
 
 
 def fused_row_resize_conv4_int8(
@@ -303,6 +319,8 @@ def fused_row_resize_conv4_int8(
     col_map = np.floor((np.arange(n_cols) + 0.5) * w_in / n_cols).astype(int)
     xc = x[:, :, col_map, :]
     xq, sx = _quant_act(xc)
+    # bf16 dequant/stack in bf16 serving (see fused_upsample2_conv4_int8).
+    dq = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
 
     q, p_num, plans = _row_phase_plan(h_in, n_resized_rows, 4, 1)
     n_out_rows = n_resized_rows - 1
@@ -326,14 +344,14 @@ def fused_row_resize_conv4_int8(
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         )[:, :n_phase]
-        y = y.astype(jnp.float32) * (sk * sx)
+        y = y.astype(dq) * (sk * sx).astype(dq)
         if n_phase < max_n:
             y = jnp.pad(y, ((0, 0), (0, max_n - n_phase), (0, 0), (0, 0)))
         phase_outs.append(y)
 
     stacked = jnp.stack(phase_outs, axis=2)
     out = stacked.reshape(b, max_n * q, stacked.shape[3], stacked.shape[4])
-    return (out[:, :n_out_rows] + bias.astype(jnp.float32)).astype(x.dtype)
+    return (out[:, :n_out_rows] + bias.astype(dq)).astype(x.dtype)
 
 
 def _leaky(x):
@@ -378,7 +396,13 @@ def fast_generator_apply(
     finer than the per-tensor scale used here.
     """
     p = params
-    use_pallas = int8 and int8_backend == "pallas"
+    # Backend granularity (measured on chip, experiments/perf_serve_r3.py):
+    # kernel B (fused all-phase Conv_0) wins 1.8x over the XLA int8 phases,
+    # but kernels C+D (GN bridge + row-phase Conv_1) lose ~60 ms/4096 to
+    # their XLA counterparts — so "pallas_ab" (A+B fused LN-quant + Conv_0,
+    # XLA for the rest) is the production point; "pallas" = all four.
+    use_pallas_ab = int8 and int8_backend in ("pallas", "pallas_ab")
+    use_pallas_cd = int8 and int8_backend == "pallas"
     x = jnp.concatenate([noise, cond], axis=1)
     # MLP stays bf16: its cost is the 92160-wide LayerNorm traffic, not the
     # matmul — int8-ing it measured neutral-to-negative (BENCH_LOG round 2).
@@ -388,7 +412,7 @@ def fast_generator_apply(
     x = _leaky(x)
     bp1 = p["MLPBlock_1"]
     x = x @ bp1["Dense_0"]["kernel"] + bp1["Dense_0"]["bias"]
-    if use_pallas:
+    if use_pallas_ab:
         from zdcsim.ops.pallas_decode import ln_leaky_rowquant, up2_conv4_int8
 
         xq, sx = ln_leaky_rowquant(
@@ -408,7 +432,7 @@ def fast_generator_apply(
             x = fused_upsample2_conv4_int8(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
         else:
             x = fused_upsample2_conv4(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
-    if use_pallas:
+    if use_pallas_cd:
         # GN + leaky + per-sample requant in one pass (kernel C), int8
         # column gather (cheap XLA), then the row-phase conv on the int8
         # MXU with fused dequant + interleave (kernel D).
@@ -436,8 +460,11 @@ def fast_generator_apply(
     x = _group_norm(x, p["GroupNorm2d_1"]["GroupNorm_0"], 128)
     x = _leaky(x)
 
-    x = _conv(x, p["Conv_2"]["kernel"], ((1, 1), (1, 1)))
-    x = x + p["Conv_2"]["bias"]
+    if int8:
+        x = conv3x3_int8(x, p["Conv_2"]["kernel"], p["Conv_2"]["bias"])
+    else:
+        x = _conv(x, p["Conv_2"]["kernel"], ((1, 1), (1, 1)))
+        x = x + p["Conv_2"]["bias"]
     x = _group_norm(x, p["GroupNorm2d_2"]["GroupNorm_0"], 64)
     x = _leaky(x)
 

@@ -40,6 +40,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# The conv kernels' per-program working set (int8 taps + int32 acc + f32
+# dequant intermediates, double-buffered in/out blocks) exceeds Mosaic's
+# default 16M scoped-vmem budget at production block sizes; v5e has 128M
+# VMEM, so raise the scoped limit rather than shrinking blocks.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _is_tpu() -> bool:
     try:
@@ -101,6 +107,7 @@ def ln_leaky_rowquant(
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(y, scale.reshape(1, f), bias.reshape(1, f))
     return q, s
 
@@ -259,6 +266,7 @@ def _call_up2(xq, sx, kq, sk, bias, h, w, cin, cout, tb, out_dtype, interpret):
             pltpu.VMEM((m, cout), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(xq.reshape(b, h * w, cin), sx, kq, sk, bias.reshape(1, cout))
     return out
 
@@ -299,7 +307,7 @@ def _make_gn_kernel(h, w, c, groups, tb):
 
 def gn_leaky_rowquant(
     x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, groups: int = 32,
-    block_rows: int = 4, interpret: bool | None = None,
+    block_rows: int = 8, interpret: bool | None = None,
 ):
     """``GroupNorm(x)*scale+bias -> LeakyReLU(0.1) -> per-sample int8``.
 
@@ -344,6 +352,7 @@ def gn_leaky_rowquant(
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(x.reshape(b, h * w, c), gmat, scale.reshape(1, c), bias.reshape(1, c))
     return q.reshape(b, h, w, c), s
 
@@ -453,7 +462,7 @@ def _make_rowconv_kernel(tb, q_phases, w_cols, cin, cout, max_l, offsets,
 
 def row_resize_conv4_int8(
     xq: jnp.ndarray, sx: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
-    n_resized_rows: int, out_dtype=jnp.bfloat16, block_rows: int = 4,
+    n_resized_rows: int, out_dtype=jnp.bfloat16, block_rows: int = 8,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """``conv4x4(pad1, resize_rows(x, n_resized_rows))`` on the int8 MXU.
@@ -509,6 +518,7 @@ def row_resize_conv4_int8(
             pltpu.VMEM((m, max_l * 4 * cin), jnp.int8),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(xq, sx, kq, sk, bias.reshape(1, cout))
     # phase interleave: row i = r*q + p; trim to the valid row count
     return out.reshape(b, n_g * q_phases, w_cols, cout)[:, : n_resized_rows - 1]
