@@ -249,6 +249,24 @@ def _conv_i8(x, k, pad):
     )
 
 
+# Round-3 lever A/B on chip (experiments/perf_serve_r3d.py, bulk int8
+# B=32768 T=64): f32 dequant 40.4k showers/s vs bf16 dequant 35.8k (-11% —
+# at tile granularity the decode is VMEM-resident, so the bandwidth saving
+# never materializes and the extra converts cost fusion); int8 Conv_2
+# 40.43k vs bf16 Conv_2 40.40k (kept: neutral throughput, frees MXU time).
+# DEQUANT_DTYPE None follows the measured default (f32); the toggles stay
+# for re-measurement.
+DEQUANT_DTYPE = None
+INT8_CONV2 = True
+
+
+def _dq_dtype(x):
+    del x
+    if DEQUANT_DTYPE is not None:
+        return DEQUANT_DTYPE
+    return jnp.float32
+
+
 def conv3x3_int8(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
     """Plain pad-1 conv on the int8 MXU (per-cout weight scales, dynamic
     per-tensor activation scale) — used for Conv_2 in the int8 serving
@@ -256,7 +274,7 @@ def conv3x3_int8(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.
     exactly like Conv_0/Conv_1's."""
     xq, sx = _quant_act(x)
     kq, sk = _quant_per_cout(kernel)
-    dq = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    dq = _dq_dtype(x)
     y = _conv_i8(xq, kq, ((1, 1), (1, 1)))
     return (y.astype(dq) * (sk * sx).astype(dq) + bias.astype(dq)).astype(x.dtype)
 
@@ -285,12 +303,10 @@ def fused_upsample2_conv4_int8(
     k_oe, k_oo = split_cols(k_or)
 
     xq, sx = _quant_act(x)
-    # Dequant/interleave in the caller's compute dtype: in bf16 serving this
-    # halves the phase-output HBM traffic (measured lever — the f32
-    # intermediates were ~2x the conv0 dequant+interleave bytes); the GN
-    # that follows renormalizes scale, so bf16 dequant rounding (~0.4%
-    # relative) is below the int8 quantization noise already accepted here.
-    dq = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    # f32 dequant/interleave: bf16 here measured -11% bulk throughput
+    # (see DEQUANT_DTYPE note above) — the tile-resident decode is not
+    # bandwidth-bound, so the narrower dtype only costs converts.
+    dq = _dq_dtype(x)
 
     def qconv(k, pad):
         kq, sk = _quant_per_cout(k)
@@ -319,8 +335,8 @@ def fused_row_resize_conv4_int8(
     col_map = np.floor((np.arange(n_cols) + 0.5) * w_in / n_cols).astype(int)
     xc = x[:, :, col_map, :]
     xq, sx = _quant_act(xc)
-    # bf16 dequant/stack in bf16 serving (see fused_upsample2_conv4_int8).
-    dq = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    # f32 dequant/stack (see fused_upsample2_conv4_int8's DEQUANT note).
+    dq = _dq_dtype(x)
 
     q, p_num, plans = _row_phase_plan(h_in, n_resized_rows, 4, 1)
     n_out_rows = n_resized_rows - 1
@@ -460,7 +476,7 @@ def fast_generator_apply(
     x = _group_norm(x, p["GroupNorm2d_1"]["GroupNorm_0"], 128)
     x = _leaky(x)
 
-    if int8:
+    if int8 and INT8_CONV2:
         x = conv3x3_int8(x, p["Conv_2"]["kernel"], p["Conv_2"]["bias"])
     else:
         x = _conv(x, p["Conv_2"]["kernel"], ((1, 1), (1, 1)))
