@@ -102,6 +102,7 @@ def tiled_switch_apply(
     idx: jnp.ndarray,
     inputs,
     tile: int = 64,
+    remat: bool = False,
 ):
     """Differentiable generalization of :func:`tiled_switch_decode` for
     TRAINING-side dispatch: arbitrary per-sample input/output pytrees.
@@ -153,11 +154,23 @@ def tiled_switch_apply(
         # pad lanes -> dummy row b (exactly-once writes; see docstring)
         return jnp.where(used & real, rows, b), jnp.where(used, rows, b), e_k
 
+    def run_chunk(e_k, chunk_in):
+        return jax.lax.switch(e_k, list(apply_fns), chunk_in)
+
+    if remat:
+        # Under jax.grad, scan saves every chunk's forward intermediates —
+        # [K, T, ...] stacked activation buffers that OOM HBM at production
+        # sizes (measured: 14.5G of HLO temps at B=512/T=32, perf_train_r3).
+        # Checkpointing the chunk body recomputes them in the backward pass
+        # instead: memory drops to one chunk's working set per stage at the
+        # cost of one extra forward. Values and gradients are unchanged.
+        run_chunk = jax.checkpoint(run_chunk)
+
     def body(carry, k):
         rows_out, rows_in, e_k = chunk_rows(k)
         safe = jnp.minimum(rows_in, b - 1)
         chunk_in = jax.tree_util.tree_map(lambda a: a[safe], inputs)
-        out = jax.lax.switch(e_k, list(apply_fns), chunk_in)
+        out = run_chunk(e_k, chunk_in)
         return carry, (rows_out, out)
 
     _, (rows_all, outs_all) = jax.lax.scan(body, None, jnp.arange(k_chunks))

@@ -445,6 +445,10 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
     # ------------------------------------------------------------------
     dispatch = str(cfg.train.get("dispatch", "dense"))
     switch_tile = int(cfg.train.get("dispatch_tile", 64))
+    # Checkpoint the per-chunk forwards: without it the scan-under-grad
+    # stacks every chunk's activations and OOMs HBM at B=512 (measured
+    # 14.5G of HLO temps, perf_train_r3). Opt-out knob for tiny models.
+    switch_remat = bool(cfg.train.get("dispatch_remat", True))
     use_switch = dispatch == "switch" and E > 1 and mesh is None
     if dispatch == "switch" and mesh is not None:
         raise ValueError("train.dispatch=switch does not support the mesh path yet")
@@ -549,7 +553,7 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
         fake_1 = jax.lax.stop_gradient(
             tiled_switch_apply(
                 gen_fns(state.gen.params, k_g1), idx,
-                {"z": noise_1, "c": cond, "rid": rid2[:B]}, tile=switch_tile,
+                {"z": noise_1, "c": cond, "rid": rid2[:B]}, tile=switch_tile, remat=switch_remat,
             )
         )  # [B, H, W, 1] routed
 
@@ -557,7 +561,7 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
             s, _ = tiled_switch_apply(
                 disc_fns(d_params), idx2,
                 {"img": jnp.concatenate([real, fake_1]), "c": cond2},
-                tile=switch_tile,
+                tile=switch_tile, remat=switch_remat,
             )
             real_sc, fake_sc = s[:B, 0], s[B:, 0]
             d_loss_e = _hinge_d_r(real_sc, fake_sc, masks)
@@ -578,19 +582,19 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
         def g_loss_fn(g_params, a_params):
             fakes = tiled_switch_apply(
                 gen_fns(g_params, k_g2), idx2,
-                {"z": noise12, "c": cond2, "rid": rid2}, tile=switch_tile,
+                {"z": noise12, "c": cond2, "rid": rid2}, tile=switch_tile, remat=switch_remat,
             )
             fake1, fake2 = fakes[:B], fakes[B:]
             s, latents = tiled_switch_apply(
                 disc_fns(disc_new.params), idx2,
                 {"img": jnp.concatenate([fake1, fake2]), "c": cond2},
-                tile=switch_tile,
+                tile=switch_tile, remat=switch_remat,
             )
             s1, l1 = s[:B, 0], latents[:B]
             s2, l2 = s[B:, 0], latents[B:]
             aux_pred = tiled_switch_apply(
                 aux_fns(a_params, k_aux), idx,
-                {"img": fake1, "rid": rid2[:B]}, tile=switch_tile,
+                {"img": fake1, "rid": rid2[:B]}, tile=switch_tile, remat=switch_remat,
             )
 
             hinge_e = _hinge_g_r(s1, masks)
