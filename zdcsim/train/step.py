@@ -444,7 +444,7 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
     #   - dropout masks draw per (expert, chunk) instead of per dense row.
     # ------------------------------------------------------------------
     dispatch = str(cfg.train.get("dispatch", "dense"))
-    switch_tile = int(cfg.train.get("dispatch_tile", 64))
+    switch_tile = int(cfg.train.get("dispatch_tile", 128))
     # Checkpoint the per-chunk forwards: without it the scan-under-grad
     # stacks every chunk's activations and OOMs HBM at B=512 (measured
     # 14.5G of HLO temps, perf_train_r3). Opt-out knob for tiny models.
