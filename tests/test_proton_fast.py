@@ -211,3 +211,28 @@ def test_fast_generator_trains(rng):
     np.testing.assert_allclose(
         float(m_f["disc_loss"]), float(m_r["disc_loss"]), rtol=5e-3
     )
+
+
+def test_fast_generator_int8_pallas_ab_engine():
+    """precision='int8_pallas_ab' (mixed Pallas LN-quant+Conv_0, XLA int8
+    rest) runs end-to-end through the engine (interpret-mode kernels on CPU)
+    and tracks the plain int8 engine closely (same weights/noise; the two
+    differ only in activation-scale granularity)."""
+    from zdcsim.config import load_config
+    from zdcsim.inference import FastSim
+    from zdcsim.models import build_moe
+    from zdcsim.train.state import init_state
+
+    cfg = load_config(overrides=["model.n_experts=2"])
+    modules = build_moe(cfg)
+    state = init_state(modules, cfg, jax.random.PRNGKey(0))
+    eng_p = FastSim.from_state(modules, state, batch_size=4, precision="int8_pallas_ab")
+    eng_q = FastSim.from_state(modules, state, batch_size=4, precision="int8")
+    assert eng_p._int8 and eng_p._int8_backend == "pallas_ab"
+    cond = np.random.default_rng(0).normal(size=(4, 9)).astype(np.float32)
+    a = np.asarray(eng_p.simulate(cond, jax.random.PRNGKey(1)))
+    b = np.asarray(eng_q.simulate(cond, jax.random.PRNGKey(1)))
+    assert np.isfinite(a).all() and a.min() >= 0.0
+    np.testing.assert_allclose(
+        np.log1p(a.sum(axis=(1, 2))), np.log1p(b.sum(axis=(1, 2))), rtol=0.15
+    )
