@@ -40,7 +40,7 @@ def main():
     state3 = init_state_jit(modules3, cfg3, jax.random.PRNGKey(0))
     orig = pf.fast_generator_apply
 
-    OUT = (55, 29, 1)  # proton decode output (resize 56x30 -> conv4 pad1)
+    OUT = (56, 30, 1)  # proton decode output (fast_generator_apply verified)
 
     def bcast(x, b):
         dep = jnp.sum(x.reshape(b, -1).astype(jnp.float32), axis=1) * 1e-30

@@ -15,7 +15,9 @@ criterion is 1.5x.
 
 Runs the PRODUCTION serving path (bulk int8 tiled-switch — what bench.py
 times) on a trained checkpoint. Defaults to the committed r2 150-epoch run's
-best epoch; override: ``python fidelity.py <experiment_dir> <epoch>``.
+best epoch; override: ``python fidelity.py <experiment_dir> <epoch> [raw|ema]``.
+Serving weights default to the generator EMA shadow (measured better or
+equal to raw in 5/6 round-3 study runs, experiments/fidelity_r3.jsonl).
 Reference metric semantics: expertsim/train/utils.py:117-176.
 """
 
@@ -44,6 +46,7 @@ def main() -> int:
 
     exp_dir = sys.argv[1] if len(sys.argv) > 2 else DEFAULT_RUN
     epoch = int(sys.argv[2]) if len(sys.argv) > 2 else DEFAULT_EPOCH
+    use_ema = (sys.argv[3] if len(sys.argv) > 3 else "ema") == "ema"
 
     # The checkpoint's training data recipe (synthetic GEANT4-like set; the
     # split indices reload from the run dir so test membership matches).
@@ -70,7 +73,7 @@ def main() -> int:
 
     engine = FastSim.from_checkpoint(
         cfg, DIR_MODELS.format(EXPERIMENT_DIR_NAME=exp_dir), epoch,
-        use_ema=False, batch_size=2048, precision="int8",
+        use_ema=use_ema, batch_size=2048, precision="int8",
     )
     ws_full, ws_half = [], []
     for d in range(N_DRAWS):
@@ -94,6 +97,7 @@ def main() -> int:
         "ws_real_floor": round(floor, 1),
         "criterion_x_floor": CRITERION,
         "checkpoint": f"{exp_dir}@{epoch}",
+        "weights": "ema" if use_ema else "raw",
         "n_test": n,
     }))
     return 0
