@@ -236,3 +236,56 @@ def test_fast_generator_int8_pallas_ab_engine():
     np.testing.assert_allclose(
         np.log1p(a.sum(axis=(1, 2))), np.log1p(b.sum(axis=(1, 2))), rtol=0.15
     )
+
+
+def test_int8_naive_convs_approximate_f32():
+    """Naive int8 conv forms (one plain conv on the materialized int8
+    upsample/resize — the round-3 measured-fastest Conv_1 formulation) must
+    track the exact f32 path within quantization error, like the phase
+    forms they replace."""
+    from zdcsim.models.proton_fast import (
+        fused_row_resize_conv4, fused_upsample2_conv4,
+        resize_conv4_int8_naive, upsample2_conv4_int8_naive,
+    )
+
+    key = jax.random.PRNGKey(4)
+    x = jax.random.normal(key, (2, 18, 10, 16))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (4, 4, 16, 8))
+    b = jax.random.normal(jax.random.fold_in(key, 2), (8,))
+    exact = fused_upsample2_conv4(x, k, b)
+    q8 = upsample2_conv4_int8_naive(x, k, b)
+    assert q8.shape == exact.shape
+    scale = float(jnp.std(exact))
+    np.testing.assert_allclose(np.asarray(q8), np.asarray(exact), atol=0.1 * scale)
+
+    x2 = jax.random.normal(key, (2, 35, 19, 16))
+    exact2 = fused_row_resize_conv4(x2, k, b, 56, 30)
+    q82 = resize_conv4_int8_naive(x2, k, b, 56, 30)
+    assert q82.shape == exact2.shape
+    scale2 = float(jnp.std(exact2))
+    np.testing.assert_allclose(np.asarray(q82), np.asarray(exact2), atol=0.1 * scale2)
+
+
+def test_int8_conv_impl_selectors():
+    """INT8_CONV0_IMPL/INT8_CONV1_IMPL swap formulations inside
+    fast_generator_apply without changing results beyond quantization
+    rounding (different-but-valid weight roundings)."""
+    from zdcsim.models import proton_fast as pf
+
+    key = jax.random.PRNGKey(5)
+    gen = Generator()
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (4, 10))
+    cond = jax.random.normal(jax.random.fold_in(key, 2), (4, 9))
+    variables = gen.init({"params": jax.random.PRNGKey(8)}, noise, cond, False)
+    params = variables["params"]
+    saved = pf.INT8_CONV0_IMPL, pf.INT8_CONV1_IMPL
+    try:
+        pf.INT8_CONV0_IMPL, pf.INT8_CONV1_IMPL = "phase", "folded"
+        a = np.asarray(pf.fast_generator_apply(params, noise, cond, int8=True))
+        pf.INT8_CONV0_IMPL, pf.INT8_CONV1_IMPL = "naive", "naive"
+        b = np.asarray(pf.fast_generator_apply(params, noise, cond, int8=True))
+    finally:
+        pf.INT8_CONV0_IMPL, pf.INT8_CONV1_IMPL = saved
+    assert a.shape == b.shape
+    assert np.isfinite(b).all() and b.min() >= 0.0
+    np.testing.assert_allclose(np.log1p(a.sum((1, 2))), np.log1p(b.sum((1, 2))), rtol=0.1)

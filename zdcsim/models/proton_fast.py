@@ -259,6 +259,19 @@ def _conv_i8(x, k, pad):
 DEQUANT_DTYPE = None
 INT8_CONV2 = True
 
+# Conv formulation selectors for the int8 decode (round-3 measured,
+# experiments/perf_mm_r3.py + perf_naive_r3.py). The tile-level microbench
+# showed XLA's single naive 4x4 int8 conv on the materialized 56x30 resized
+# grid runs at 35.6% int8-MXU utilization vs 11.4% for the 8 strided
+# row-phase convs of fused_row_resize_conv4_int8 — 2.3x faster despite
+# 1.38x more MACs (the "FLOP-reduced" phase form is a TPU pessimization:
+# tiny strided outputs defeat XLA's conv tiling). Conv_0's parity-phase
+# form keeps a 2.52x MAC reduction at comparable utilization and stays.
+# Values: "phase"/"folded" = phase-decomposed (round-2 form),
+# "naive" = materialize upsample/resize in int8, one plain conv.
+INT8_CONV0_IMPL = "phase"
+INT8_CONV1_IMPL = "folded"
+
 
 def _dq_dtype(x):
     del x
@@ -370,6 +383,51 @@ def fused_row_resize_conv4_int8(
     return (out[:, :n_out_rows] + bias.astype(dq)).astype(x.dtype)
 
 
+def upsample2_conv4_int8_naive(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray
+) -> jnp.ndarray:
+    """Naive int8 counterpart of :func:`fused_upsample2_conv4_int8`:
+    materialize the nearest-2x upsample on the QUANTIZED activations (int8
+    repeat — cheap) and run one plain 4x4 conv on the int8 MXU. 2.52x the
+    phase form's MACs but a single regular conv XLA tiles well; kept for
+    in-bulk A/B (experiments/perf_naive_r3.py)."""
+    xq, sx = _quant_act(x)
+    b, h, w, c = xq.shape
+    xu = jnp.repeat(jnp.repeat(xq, 2, axis=1), 2, axis=2)  # [B,2H,2W,C]
+    kq, sk = _quant_per_cout(kernel)
+    dq = _dq_dtype(x)
+    y = _conv_i8(xu, kq, ((1, 1), (1, 1)))  # [B,2H-1,2W-1,cout]
+    return (y.astype(dq) * (sk * sx).astype(dq) + bias.astype(dq)).astype(x.dtype)
+
+
+def resize_conv4_int8_naive(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, n_resized_rows: int, n_cols: int
+) -> jnp.ndarray:
+    """Naive int8 counterpart of :func:`fused_row_resize_conv4_int8`:
+    materialize the nearest resize as an int8 row/col gather and run ONE
+    plain 4x4 pad-1 conv on the int8 MXU.
+
+    Measured (experiments/perf_mm_r3.py, tile B=64 on chip): 762 us/op at
+    35.6% int8-MXU utilization vs 1735 us at 11.4% for the folded row-phase
+    form — the single regular conv wins 2.3x despite 1.38x more MACs.
+    Quantization: same per-tensor activation scale (every source pixel
+    appears in the nearest-resize, so the max is unchanged); weights are
+    quantized per-cout on the ORIGINAL kernel (the folded path quantizes
+    merged per-phase kernels — both are valid roundings; fidelity is gated
+    in BENCH_LOG before production use)."""
+    import numpy as np
+
+    b, h_in, w_in, cin = x.shape
+    xq, sx = _quant_act(x)
+    row_map = np.floor((np.arange(n_resized_rows) + 0.5) * h_in / n_resized_rows).astype(int)
+    col_map = np.floor((np.arange(n_cols) + 0.5) * w_in / n_cols).astype(int)
+    xr = xq[:, row_map][:, :, col_map]  # int8 nearest resize
+    kq, sk = _quant_per_cout(kernel)
+    dq = _dq_dtype(x)
+    y = _conv_i8(xr, kq, ((1, 1), (1, 1)))  # [B, n_resized_rows-1, n_cols-1, cout]
+    return (y.astype(dq) * (sk * sx).astype(dq) + bias.astype(dq)).astype(x.dtype)
+
+
 def _leaky(x):
     return jax.nn.leaky_relu(x, negative_slope=0.1)
 
@@ -444,7 +502,9 @@ def fast_generator_apply(
         x = x.reshape(-1, 18, 10, 512)
 
         # upsample x2 + Conv_0 4x4 pad1 -> fused parity convs (35x19x256)
-        if int8:
+        if int8 and INT8_CONV0_IMPL == "naive":
+            x = upsample2_conv4_int8_naive(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
+        elif int8:
             x = fused_upsample2_conv4_int8(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
         else:
             x = fused_upsample2_conv4(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
@@ -467,9 +527,12 @@ def fast_generator_apply(
         x = _group_norm(x, p["GroupNorm2d_0"]["GroupNorm_0"], 256)
         x = _leaky(x)
 
-        # resize to 56x30 + Conv_1 4x4 pad1 -> row-duplication folded into
-        # per-phase strided convs (55x29x128)
-        if int8:
+        # resize to 56x30 + Conv_1 4x4 pad1 (55x29x128): int8 default is the
+        # naive conv on the materialized int8 resize (2.3x the folded
+        # row-phase form on chip — see resize_conv4_int8_naive docstring)
+        if int8 and INT8_CONV1_IMPL == "naive":
+            x = resize_conv4_int8_naive(x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30)
+        elif int8:
             x = fused_row_resize_conv4_int8(x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30)
         else:
             x = fused_row_resize_conv4(x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30)
