@@ -1,0 +1,118 @@
+"""Chip compile + bulk throughput of the single fused Pallas decode kernel.
+
+Stage 1: compile/run fused_decode standalone at tile shape (B=64) and
+time it in-jit (x50) vs the XLA int8 decode path — catches Mosaic
+lowering problems cheaply before paying bulk compiles.
+Stage 2: production bulk tiled-switch with precision="int8_fused" at
+T=64 (the kernel grid is 8 sample-blocks of 8), plus T=128/256 — the
+fused kernel changes the VMEM picture, so the round-2 T=64 optimum must
+be re-laddered.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+sys.path.insert(0, "/root/repo")
+
+ITERS = 50
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    from zdcsim.models.proton import Generator
+    from zdcsim.models import proton_fast as pf
+    from zdcsim.ops.pallas_decode_fused import fused_decode_from_params
+
+    key = jax.random.PRNGKey(0)
+    B = 64
+    gen = Generator()
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (B, 10), jnp.bfloat16)
+    cond = jax.random.normal(jax.random.fold_in(key, 2), (B, 9), jnp.bfloat16)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16),
+        gen.init({"params": jax.random.PRNGKey(5)}, noise, cond, False)["params"],
+    )
+
+    # ---- stage 1: standalone decode, in-jit repetition ----
+    def dense1(z, c):
+        x = jnp.concatenate([z, c], axis=1)
+        bp0 = params["MLPBlock_0"]
+        x = x @ bp0["Dense_0"]["kernel"] + bp0["Dense_0"]["bias"]
+        x = pf._leaky(pf._layer_norm(x, bp0["LayerNorm_0"]))
+        bp1 = params["MLPBlock_1"]
+        return x @ bp1["Dense_0"]["kernel"] + bp1["Dense_0"]["bias"]
+
+    x1 = jax.jit(dense1)(noise, cond)
+
+    def rep(op):
+        def run(x):
+            def body(c, _):
+                y = op(c)
+                s = (jnp.sum(y.astype(jnp.float32)) * 1e-30).astype(c.dtype)
+                return c + s, None
+
+            xf, _ = lax.scan(body, x, None, length=ITERS)
+            return jnp.sum(xf.astype(jnp.float32))
+
+        return jax.jit(run)
+
+    def t(name, fn, *args):
+        out = fn(*args)
+        float(out)
+        t0 = time.perf_counter()
+        float(fn(*args))
+        dt = (time.perf_counter() - t0) / ITERS
+        print(f"{name:26s}: {dt*1e6:9.1f} us/op  ({dt*1e6/B:6.2f} us/sample)",
+              flush=True)
+
+    t("fused kernel (B=64)", rep(lambda x: fused_decode_from_params(params, x)), x1)
+    t("XLA int8 post-MLP (B=64)", rep(
+        lambda x: _xla_tail(pf, params, x)), x1)
+
+    # ---- stage 2: bulk ----
+    from zdcsim.config import load_config
+    from zdcsim.inference import FastSim
+    from zdcsim.models import build_moe
+    from zdcsim.train.state import init_state_jit
+
+    cfg3 = load_config(overrides=["model.n_experts=3"])
+    modules3 = build_moe(cfg3)
+    state3 = init_state_jit(modules3, cfg3, jax.random.PRNGKey(0))
+    for prec, tile in [("int8_fused", 64), ("int8_fused", 128),
+                       ("int8_fused", 256), ("int8", 64)]:
+        eng = FastSim.from_state(
+            modules3, state3, use_ema=False, batch_size=32768, precision=prec)
+        eng._build_switch(tile=tile)
+        stats = eng.throughput_bulk(n_showers=131072)
+        sps = stats["showers_per_sec"]
+        print(f"bulk {prec:11s} T={tile:3d}: {sps:10,.0f} showers/s "
+              f"({1e6/sps:6.2f} us/shower)", flush=True)
+
+
+def _xla_tail(pf, params, x):
+    """The XLA int8 decode from Dense_1 output (mirrors fast_generator_apply
+    past the MLP, production int8 path)."""
+    import jax.numpy as jnp
+
+    p = params
+    bp1 = p["MLPBlock_1"]
+    h = pf._leaky(pf._layer_norm(x, bp1["LayerNorm_0"]))
+    h = h.reshape(-1, 18, 10, 512)
+    h = pf.fused_upsample2_conv4_int8(h, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
+    h = pf._leaky(pf._group_norm(h, p["GroupNorm2d_0"]["GroupNorm_0"], 256))
+    h = pf.fused_row_resize_conv4_int8(h, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30)
+    h = pf._leaky(pf._group_norm(h, p["GroupNorm2d_1"]["GroupNorm_0"], 128))
+    h = pf.conv3x3_int8(h, p["Conv_2"]["kernel"], p["Conv_2"]["bias"])
+    h = pf._leaky(pf._group_norm(h, p["GroupNorm2d_2"]["GroupNorm_0"], 64))
+    h = pf._conv(h, p["Conv_3"]["kernel"], ((1, 1), (1, 1))) + p["Conv_3"]["bias"]
+    return jax.nn.relu(h)
+
+
+if __name__ == "__main__":
+    main()

@@ -82,7 +82,7 @@ class FastSim:
         self._mesh = mesh
         h, w = modules.image_shape
         self.image_shape = (h, w)
-        _int8_precisions = ("int8", "int8_pallas", "int8_pallas_ab")
+        _int8_precisions = ("int8", "int8_pallas", "int8_pallas_ab", "int8_fused")
         dtype = (
             jnp.bfloat16 if precision in ("bf16",) + _int8_precisions
             else jnp.float32
@@ -95,9 +95,12 @@ class FastSim:
         # "int8_pallas": all four fused Pallas decode kernels
         # (zdcsim/ops/pallas_decode.py); "int8_pallas_ab": Pallas only for
         # the measured winners (fused LN-quant + all-phase Conv_0), XLA int8
-        # for the rest — see fast_generator_apply docstring.
+        # for the rest; "int8_fused": the ENTIRE post-MLP decode as ONE
+        # Pallas kernel (zdcsim/ops/pallas_decode_fused.py) — see
+        # fast_generator_apply docstring.
         self._int8_backend = {
-            "int8_pallas": "pallas", "int8_pallas_ab": "pallas_ab"
+            "int8_pallas": "pallas", "int8_pallas_ab": "pallas_ab",
+            "int8_fused": "fused",
         }.get(precision, "xla")
 
         gen_params = _cast_tree(gen_params, dtype)

@@ -477,6 +477,7 @@ def fast_generator_apply(
     # XLA for the rest) is the production point; "pallas" = all four.
     use_pallas_ab = int8 and int8_backend in ("pallas", "pallas_ab")
     use_pallas_cd = int8 and int8_backend == "pallas"
+    use_fused = int8 and int8_backend == "fused"
     x = jnp.concatenate([noise, cond], axis=1)
     # MLP stays bf16: its cost is the 92160-wide LayerNorm traffic, not the
     # matmul — int8-ing it measured neutral-to-negative (BENCH_LOG round 2).
@@ -486,6 +487,14 @@ def fast_generator_apply(
     x = _leaky(x)
     bp1 = p["MLPBlock_1"]
     x = x @ bp1["Dense_0"]["kernel"] + bp1["Dense_0"]["bias"]
+    if use_fused:
+        # Round-3: the ENTIRE post-MLP decode in ONE Pallas kernel — a
+        # single custom-call boundary per dispatch tile, all intermediates
+        # VMEM-resident (see zdcsim/ops/pallas_decode_fused.py for the
+        # profiling that motivates it). Input is the pre-LN Dense_1 output.
+        from zdcsim.ops.pallas_decode_fused import fused_decode_from_params
+
+        return fused_decode_from_params(p, x)[..., None].astype(noise.dtype)
     if use_pallas_ab:
         from zdcsim.ops.pallas_decode import ln_leaky_rowquant, up2_conv4_int8
 

@@ -1,0 +1,431 @@
+"""ONE fused Pallas TPU kernel for the whole int8 proton serving decode.
+
+Round-3 profiling of the production bulk program (BENCH_LOG.md; captured
+with jax.profiler + experiments/xplane_parse.py) showed ~50% of bulk
+serving runtime is NOT MXU work: 31% VPU loop fusions (LN/GN statistics,
+quant/dequant, interleaves) and 16% pure layout-formatting copies between
+fusion boundaries, on top of conv fusions at ~60% int8 utilization. The
+round-2/3 per-op Pallas kernels (zdcsim/ops/pallas_decode.py, kernels
+A-D) could not recover this because every kernel boundary re-pays XLA
+relayout: the all-Pallas decode measured SLOWER in bulk (22.4k vs 40.4k
+showers/s).
+
+This module instead runs the ENTIRE post-MLP decode — LayerNorm ->
+LeakyReLU -> int8 quant -> Conv_0 (parity phases) -> GN -> Conv_1 (on the
+materialized nearest-resize) -> GN -> Conv_2 -> GN -> Conv_3 -> ReLU
+[-> expm1] — as ONE ``pallas_call``: a single custom-call boundary per
+dispatch tile, all intermediates VMEM-resident, zero XLA-side layout
+copies. Reference semantics: the serving forward of
+``zdcsim.models.proton.Generator`` (expertsim/models/proton/generator.py:
+5-53 "Generator-v5-bigkernel-res56x30"), already re-derived in
+``zdcsim.models.proton_fast.fast_generator_apply``.
+
+Techniques (measured in this repo, see pallas_decode.py docstrings):
+- convs as per-tap int8 ``dot_general`` on a flat [M, C] halo-padded VMEM
+  scratch with iota validity masks (kernel B pattern);
+- GroupNorm statistics as MXU contractions against a 0/1 group-membership
+  matrix — no lane-crossing reshapes (kernel C pattern);
+- Conv_0's four parity phases (proton_fast.fused_upsample2_conv4 algebra:
+  2.52x fewer MACs than the naive upsampled conv) interleaved at the
+  value level (stack + reshape, the proton_fast._interleave trick);
+- the 35x19 -> 56x30 nearest resize done on int8 values in VMEM: columns
+  as 30 static gathers, rows via the periodic 8-outputs-per-5-sources
+  pattern (8 strided slices + one stack/reshape interleave);
+- Conv_1/2/3 all computed on the uniform 56x30 grid with the invalid
+  tail row/column kept at zero so it doubles as conv padding (Conv_1's
+  valid output is 55x29; Conv_3's 2x2 pad-1 conv then lands exactly back
+  on 56x30, matching the module forward).
+
+Quantization: per-sample activation scales at every int8 stage (finer
+than the XLA path's per-tensor scales), per-cout weight scales; Conv_3
+runs in f32 (tiny). Exactness vs the f32 path is tolerance-tested in
+tests/test_pallas_fused.py (interpret mode on CPU); physics fidelity is
+gated on-chip in BENCH_LOG.md before production use.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from zdcsim.ops.pallas_decode import _COMPILER_PARAMS, _is_tpu, _quant_phases
+
+# conv0 operates on the 18x10x512 MLP grid; its four parity phases fill
+# the 35x19 grid; conv1..3 run on the 56x30 resized grid.
+H0, W0, C0 = 18, 10, 512
+H1, W1, C1 = 35, 19, 256  # conv0 output (valid grid)
+HG, WG = 56, 30  # resized / final grid
+C2, C3 = 128, 64
+_PAD0 = 16  # conv0 flat-shift halo (|dr*W0 + dc| <= 11)
+_PADG = 64  # conv1..3 flat-shift halo on the 56x30 grid (4x4 taps: shift in [-31, 62])
+
+_PHASE_OFFSETS = {
+    "ee": [(a - 1, b - 1) for a in range(3) for b in range(3)],
+    "eo": [(a - 1, b) for a in range(3) for b in range(2)],
+    "oe": [(a, b - 1) for a in range(2) for b in range(3)],
+    "oo": [(a, b) for a in range(2) for b in range(2)],
+}
+_PHASES = ("ee", "eo", "oe", "oo")
+
+_ROW_MAP = np.floor((np.arange(HG) + 0.5) * H1 / HG).astype(int)
+_COL_MAP = np.floor((np.arange(WG) + 0.5) * W1 / WG).astype(int)
+# rows are periodic: output rows k::8 <- source rows _ROW_PAT[k]::5
+_ROW_PAT = [int(_ROW_MAP[k]) for k in range(8)]
+assert all(
+    int(_ROW_MAP[g * 8 + k]) == _ROW_PAT[k] + 5 * g
+    for g in range(HG // 8) for k in range(8)
+)
+
+
+def _quant_cout(k: jnp.ndarray):
+    s = jnp.maximum(
+        jnp.max(jnp.abs(k.astype(jnp.float32)), axis=tuple(range(k.ndim - 1))) / 127.0,
+        1e-12,
+    )
+    q = jnp.clip(jnp.round(k.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _gmat(c: int, groups: int) -> jnp.ndarray:
+    return jnp.asarray(
+        (jnp.arange(c)[:, None] // (c // groups)) == jnp.arange(groups)[None, :],
+        jnp.float32,
+    )
+
+
+def _interleave_vals(even, odd, axis):
+    """proton_fast._interleave on kernel values: length 2E-1."""
+    pad = [(0, 0)] * even.ndim
+    pad[axis] = (0, 1)
+    stacked = jnp.stack([even, jnp.pad(odd, pad)], axis=axis + 1)
+    shape = list(even.shape)
+    shape[axis] = 2 * even.shape[axis]
+    out = stacked.reshape(shape)
+    idx = [slice(None)] * even.ndim
+    idx[axis] = slice(0, 2 * even.shape[axis] - 1)
+    return out[tuple(idx)]
+
+
+def _gn_leaky(y, gmat, scale, bias, count, valid=None):
+    """GroupNorm + LeakyReLU via MXU group contractions (kernel C pattern).
+
+    y: [TB, ..., C]; ``count`` = valid positions x channels-per-group;
+    ``valid`` (broadcastable 0/1) masks garbage positions out of the
+    statistics — their values must already be zero."""
+    letters = "bpc" if y.ndim == 3 else "bhwc"
+    s1 = jnp.einsum(f"{letters},cg->bg", y, gmat)
+    s2 = jnp.einsum(f"{letters},cg->bg", y * y, gmat)
+    mu_g = s1 / count
+    var_g = jnp.maximum(s2 / count - mu_g * mu_g, 0.0)
+    mu_c = jnp.einsum("bg,cg->bc", mu_g, gmat)
+    inv_c = jnp.einsum("bg,cg->bc", jax.lax.rsqrt(var_g + 1e-6), gmat)
+    bshape = (y.shape[0],) + (1,) * (y.ndim - 2) + (y.shape[-1],)
+    out = (y - mu_c.reshape(bshape)) * inv_c.reshape(bshape)
+    out = out * scale + bias
+    out = jnp.where(out >= 0, out, 0.1 * out)
+    if valid is not None:
+        out = out * valid
+    return out
+
+
+def _rowquant(y, tb):
+    """Per-sample symmetric int8 quant; y: [TB, ..., C] -> (q, s[TB])."""
+    m = jnp.max(jnp.abs(y.reshape(tb, -1)), axis=1)
+    s = jnp.maximum(m / 127.0, 1e-12)
+    sb = s.reshape((tb,) + (1,) * (y.ndim - 1))
+    q = jnp.clip(jnp.round(y / sb), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _make_fused_kernel(tb: int, apply_expm1: bool):
+    m0 = tb * H0 * W0
+    mg = tb * HG * WG
+
+    def kernel(
+        x_ref, lns_ref, lnb_ref,
+        k0_ref, s0_ref, b0_ref, g0s_ref, g0b_ref,
+        k1_ref, s1_ref, b1_ref, g1s_ref, g1b_ref,
+        k2_ref, s2_ref, b2_ref, g2s_ref, g2b_ref,
+        k3_ref, b3_ref,
+        gm1_ref, gm2_ref, gm3_ref,
+        out_ref,
+        xpad0, xpadg, y1q, y2q,
+    ):
+        # ---- LayerNorm + LeakyReLU + per-sample int8 quant (kernel A) ----
+        x = x_ref[:].astype(jnp.float32)  # [TB, 180, 512]
+        mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.mean((x - mu) * (x - mu), axis=(1, 2), keepdims=True)
+        z = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+        z = z * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+        z = jnp.where(z >= 0, z, 0.1 * z)
+        mx = jnp.max(jnp.abs(z), axis=(1, 2), keepdims=True)
+        sx = jnp.maximum(mx / 127.0, 1e-12)  # [TB, 1, 1]
+        xq = jnp.clip(jnp.round(z / sx), -127, 127).astype(jnp.int8)
+
+        # ---- Conv_0: parity-phase taps on the flat halo scratch ----
+        xpad0[_PAD0:_PAD0 + m0, :] = xq.reshape(m0, C0)
+        midx0 = jax.lax.broadcasted_iota(jnp.int32, (m0, 1), 0)
+        i0 = (midx0 // W0) % H0
+        j0 = midx0 % W0
+        bias0 = b0_ref[0].astype(jnp.float32)
+        sxc = sx.reshape(tb, 1)
+
+        phase_vals = []
+        tap = 0
+        for name in _PHASES:
+            acc = jnp.zeros((m0, C1), jnp.int32)
+            for (dr, dc) in _PHASE_OFFSETS[name]:
+                sft = dr * W0 + dc
+                xs = xpad0[_PAD0 + sft:_PAD0 + sft + m0, :]
+                ok = (
+                    (i0 + dr >= 0) & (i0 + dr < H0)
+                    & (j0 + dc >= 0) & (j0 + dc < W0)
+                )
+                acc = acc + jax.lax.dot_general(
+                    jnp.where(ok, xs, jnp.int8(0)), k0_ref[tap],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                tap += 1
+            p = len(phase_vals)
+            skp = s0_ref[p].astype(jnp.float32)  # [C1]
+            val = acc.astype(jnp.float32) * skp[None, :]
+            val = val.reshape(tb, H0 * W0, C1) * sxc[:, :, None]
+            val = (val + bias0[None, None, :]).reshape(tb, H0, W0, C1)
+            phase_vals.append(val)
+
+        v_ee, v_eo, v_oe, v_oo = phase_vals
+        rows_even = _interleave_vals(v_ee, v_eo[:, :, : W0 - 1], 2)  # [TB,18,19,C1]
+        rows_odd = _interleave_vals(
+            v_oe[:, : H0 - 1], v_oo[:, : H0 - 1, : W0 - 1], 2
+        )  # [TB,17,19,C1]
+        y0 = _interleave_vals(rows_even, rows_odd, 1)  # [TB,35,19,C1]
+
+        # ---- GN0 + LeakyReLU + per-sample quant on the 35x19 grid ----
+        yg0 = _gn_leaky(
+            y0, gm1_ref[:],
+            g0s_ref[:].astype(jnp.float32).reshape(1, 1, 1, C1),
+            g0b_ref[:].astype(jnp.float32).reshape(1, 1, 1, C1),
+            float(H1 * W1 * (C1 // 32)),
+        )
+        q1, s1a = _rowquant(yg0, tb)  # [TB,35,19,C1] int8, [TB]
+
+        # ---- nearest resize 35x19 -> 56x30 (int8, value level) ----
+        qc = jnp.stack([q1[:, :, int(c), :] for c in _COL_MAP], axis=2)
+        # rows: out k::8 <- src _ROW_PAT[k]::5 (7 groups x 8 phases = 56)
+        row_phases = jnp.stack(
+            [qc[:, _ROW_PAT[k]:H1:5, :, :] for k in range(8)], axis=2
+        )  # [TB, 7, 8, 30, C1]
+        xr = row_phases.reshape(tb, HG, WG, C1)
+        xpadg[_PADG:_PADG + mg, :] = xr.reshape(mg, C1)
+
+        # ---- Conv_1 (naive 16-tap on the resized grid) ----
+        midxg = jax.lax.broadcasted_iota(jnp.int32, (mg, 1), 0)
+        ig = (midxg // WG) % HG
+        jg = midxg % WG
+        bias1 = b1_ref[0].astype(jnp.float32)
+        acc1 = jnp.zeros((mg, C2), jnp.int32)
+        tap = 0
+        for a in range(4):
+            for c in range(4):
+                sft = (a - 1) * WG + (c - 1)
+                xs = xpadg[_PADG + sft:_PADG + sft + mg, :]
+                ok = (
+                    (ig + a - 1 >= 0) & (ig + a - 1 < HG)
+                    & (jg + c - 1 >= 0) & (jg + c - 1 < WG)
+                )
+                acc1 = acc1 + jax.lax.dot_general(
+                    jnp.where(ok, xs, jnp.int8(0)), k1_ref[tap],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                tap += 1
+        sk1 = s1_ref[:].astype(jnp.float32).reshape(C2)
+        v1 = acc1.astype(jnp.float32) * sk1[None, :]
+        v1 = v1.reshape(tb, HG * WG, C2) * s1a[:, None, None] + bias1[None, None, :]
+        # valid conv output = rows 0..54, cols 0..28; zero the tail so it
+        # acts as padding for conv2 and stays out of GN1 statistics
+        okg = ((ig < HG - 1) & (jg < WG - 1)).reshape(tb, HG * WG, 1)
+        v1 = v1 * okg
+        yg1 = _gn_leaky(
+            v1, gm2_ref[:],
+            g1s_ref[:].astype(jnp.float32).reshape(1, 1, C2),
+            g1b_ref[:].astype(jnp.float32).reshape(1, 1, C2),
+            float((HG - 1) * (WG - 1) * (C2 // 32)), valid=okg,
+        )
+        q2, s2a = _rowquant(yg1, tb)
+        y1q[_PADG:_PADG + mg, :] = q2.reshape(mg, C2)
+
+        # ---- Conv_2 (3x3 pad1 on the 55x29 valid grid) ----
+        bias2 = b2_ref[0].astype(jnp.float32)
+        acc2 = jnp.zeros((mg, C3), jnp.int32)
+        tap = 0
+        for a in range(3):
+            for c in range(3):
+                sft = (a - 1) * WG + (c - 1)
+                xs = y1q[_PADG + sft:_PADG + sft + mg, :]
+                ok = (
+                    (ig + a - 1 >= 0) & (ig + a - 1 < HG)
+                    & (jg + c - 1 >= 0) & (jg + c - 1 < WG)
+                )
+                acc2 = acc2 + jax.lax.dot_general(
+                    jnp.where(ok, xs, jnp.int8(0)), k2_ref[tap],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                tap += 1
+        sk2 = s2_ref[:].astype(jnp.float32).reshape(C3)
+        v2 = acc2.astype(jnp.float32) * sk2[None, :]
+        v2 = v2.reshape(tb, HG * WG, C3) * s2a[:, None, None] + bias2[None, None, :]
+        v2 = v2 * okg
+        yg2 = _gn_leaky(
+            v2, gm3_ref[:],
+            g2s_ref[:].astype(jnp.float32).reshape(1, 1, C3),
+            g2b_ref[:].astype(jnp.float32).reshape(1, 1, C3),
+            float((HG - 1) * (WG - 1) * (C3 // 32)), valid=okg,
+        )
+        y2q[_PADG:_PADG + mg, :] = yg2.reshape(mg, C3)
+
+        # ---- Conv_3 (2x2 pad1, f32) + ReLU [+ expm1] ----
+        bias3 = b3_ref[:].astype(jnp.float32)  # [1, 8]
+        acc3 = jnp.zeros((mg, 8), jnp.float32)
+        tap = 0
+        for a in range(2):
+            for c in range(2):
+                sft = (a - 1) * WG + (c - 1)
+                xs = y2q[_PADG + sft:_PADG + sft + mg, :]
+                ok = (
+                    (ig + a - 1 >= 0) & (ig + a - 1 < HG)
+                    & (jg + c - 1 >= 0) & (jg + c - 1 < WG)
+                )
+                acc3 = acc3 + jax.lax.dot_general(
+                    jnp.where(ok, xs, 0.0), k3_ref[tap],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                tap += 1
+        v3 = jnp.maximum(acc3 + bias3, 0.0)[:, :1]  # ReLU; real cout 0
+        if apply_expm1:
+            v3 = jnp.expm1(v3)
+        out_ref[:] = v3.reshape(tb, HG, WG)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("apply_expm1", "block_rows", "interpret")
+)
+def fused_decode(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+    conv0_kernel: jnp.ndarray, conv0_bias: jnp.ndarray,
+    gn0_scale: jnp.ndarray, gn0_bias: jnp.ndarray,
+    conv1_kernel: jnp.ndarray, conv1_bias: jnp.ndarray,
+    gn1_scale: jnp.ndarray, gn1_bias: jnp.ndarray,
+    conv2_kernel: jnp.ndarray, conv2_bias: jnp.ndarray,
+    gn2_scale: jnp.ndarray, gn2_bias: jnp.ndarray,
+    conv3_kernel: jnp.ndarray, conv3_bias: jnp.ndarray,
+    apply_expm1: bool = False,
+    block_rows: int = 8,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Run the fused decode. ``x``: [B, 92160] Dense_1 output (pre-LN).
+
+    Returns [B, 56, 30] f32 — ``relu(conv3(...))`` (log-space pixel
+    intensities), or photon counts if ``apply_expm1``.
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    b = x.shape[0]
+    tb = block_rows
+    while b % tb:
+        tb //= 2
+    tb = max(tb, 1)
+
+    kq0, sk0 = _quant_phases(conv0_kernel)  # [25, 512, 256], [4, 256]
+    kq1, sk1 = _quant_cout(conv1_kernel)  # [4, 4, 256, 128]
+    kq1 = kq1.reshape(16, C1, C2)
+    kq2, sk2 = _quant_cout(conv2_kernel)  # [3, 3, 128, 64]
+    kq2 = kq2.reshape(9, C2, C3)
+    k3 = jnp.zeros((4, C3, 8), jnp.float32)
+    k3 = k3.at[:, :, 0].set(conv3_kernel.astype(jnp.float32).reshape(4, C3))
+    b3 = jnp.zeros((1, 8), jnp.float32).at[0, 0].set(
+        conv3_bias.astype(jnp.float32).reshape(())
+    )
+
+    m0 = tb * H0 * W0
+    mg = tb * HG * WG
+    const = lambda *dims: pl.BlockSpec(dims, lambda i: (0,) * len(dims),  # noqa: E731
+                                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_fused_kernel(tb, apply_expm1),
+        grid=(b // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, H0 * W0, C0), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(1, H0 * W0, C0), const(1, H0 * W0, C0),
+            const(25, C0, C1), const(4, C1), const(1, C1),
+            const(1, C1), const(1, C1),
+            const(16, C1, C2), const(1, C2), const(1, C2),
+            const(1, C2), const(1, C2),
+            const(9, C2, C3), const(1, C3), const(1, C3),
+            const(1, C3), const(1, C3),
+            const(4, C3, 8), const(1, 8),
+            const(C1, 32), const(C2, 32), const(C3, 32),
+        ],
+        out_specs=pl.BlockSpec(
+            (tb, HG, WG), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, HG, WG), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((m0 + 2 * _PAD0, C0), jnp.int8),  # xpad0
+            pltpu.VMEM((mg + 2 * _PADG, C1), jnp.int8),  # xpadg (resized)
+            pltpu.VMEM((mg + 2 * _PADG, C2), jnp.int8),  # y1q
+            pltpu.VMEM((mg + 2 * _PADG, C3), jnp.float32),  # y2q
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(
+        x.reshape(b, H0 * W0, C0),
+        ln_scale.reshape(1, H0 * W0, C0), ln_bias.reshape(1, H0 * W0, C0),
+        kq0, sk0, conv0_bias.reshape(1, C1),
+        gn0_scale.reshape(1, C1), gn0_bias.reshape(1, C1),
+        kq1, sk1.reshape(1, C2), conv1_bias.reshape(1, C2),
+        gn1_scale.reshape(1, C2), gn1_bias.reshape(1, C2),
+        kq2, sk2.reshape(1, C3), conv2_bias.reshape(1, C3),
+        gn2_scale.reshape(1, C3), gn2_bias.reshape(1, C3),
+        k3, b3,
+        _gmat(C1, 32), _gmat(C2, 32), _gmat(C3, 32),
+    )
+    return out
+
+
+def fused_decode_from_params(
+    params, x: jnp.ndarray, apply_expm1: bool = False, **kw
+) -> jnp.ndarray:
+    """Convenience wrapper: pull the LN/conv/GN parameter leaves out of a
+    ``zdcsim.models.proton.Generator`` parameter tree (the exact tree
+    ``fast_generator_apply`` consumes) and run :func:`fused_decode`.
+    ``x`` is the Dense_1 output (pre-LayerNorm), shape [B, 92160]."""
+    p = params
+    ln = p["MLPBlock_1"]["LayerNorm_0"]
+    return fused_decode(
+        x,
+        ln["scale"], ln["bias"],
+        p["Conv_0"]["kernel"], p["Conv_0"]["bias"],
+        p["GroupNorm2d_0"]["GroupNorm_0"]["scale"],
+        p["GroupNorm2d_0"]["GroupNorm_0"]["bias"],
+        p["Conv_1"]["kernel"], p["Conv_1"]["bias"],
+        p["GroupNorm2d_1"]["GroupNorm_0"]["scale"],
+        p["GroupNorm2d_1"]["GroupNorm_0"]["bias"],
+        p["Conv_2"]["kernel"], p["Conv_2"]["bias"],
+        p["GroupNorm2d_2"]["GroupNorm_0"]["scale"],
+        p["GroupNorm2d_2"]["GroupNorm_0"]["bias"],
+        p["Conv_3"]["kernel"], p["Conv_3"]["bias"],
+        apply_expm1=apply_expm1, **kw,
+    )
