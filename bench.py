@@ -35,12 +35,13 @@ def main() -> int:
     # program — per-chunk dispatch RTT never paid) with int8 MXU convs on the
     # two dominant generator layers (1.8x conv throughput vs bf16 measured on
     # v5e; WS fidelity delta vs bf16 gated in BENCH_LOG.md). Best measured:
-    # B=32768, tile=64 -> 40.1k showers/s (experiments/perf_sweep2_r2.py);
-    # first fallback B=8192, then bulk bf16, per-call switch bf16, dense.
-    # NOTE: "int8_pallas" (round-3 fused Pallas decode kernels) enters this
-    # ladder first IF experiments/perf_serve_r3.py measures it faster —
-    # the ladder takes the first success, so ordering is a measurement
-    # decision, not a default.
+    # B=32768, tile=64, naive int8 Conv_1 -> 41.3k showers/s
+    # (experiments/perf_naive_r3.py); first fallback B=8192, then bulk bf16,
+    # per-call switch bf16, dense. The per-op Pallas decode kernels
+    # ("int8_pallas"/"int8_pallas_ab") measured SLOWER in bulk and stay out
+    # of the ladder; "int8_fused" (whole-decode single Pallas kernel) enters
+    # first if experiments/perf_fused_r3.py measures it faster — ladder
+    # ordering is a measurement decision, not a default.
     stats = None
     for precision, batch, bulk in (("int8", 32768, True), ("int8", 8192, True),
                                    ("bf16", 8192, True), ("bf16", 4096, False)):

@@ -270,7 +270,7 @@ INT8_CONV2 = True
 # Values: "phase"/"folded" = phase-decomposed (round-2 form),
 # "naive" = materialize upsample/resize in int8, one plain conv.
 INT8_CONV0_IMPL = "phase"
-INT8_CONV1_IMPL = "folded"
+INT8_CONV1_IMPL = "naive"  # +2.2% bulk (41.3k vs 40.4k at T=64, perf_naive_r3)
 
 
 def _dq_dtype(x):
