@@ -71,7 +71,14 @@ def main():
         print(f"{name:26s}: {dt*1e6:9.1f} us/op  ({dt*1e6/B:6.2f} us/sample)",
               flush=True)
 
-    t("fused kernel (B=64)", rep(lambda x: fused_decode_from_params(params, x)), x1)
+    for tb in (8, 4):
+        try:
+            t(f"fused kernel (B=64, tb={tb})",
+              rep(lambda x, tb=tb: fused_decode_from_params(
+                  params, x, block_rows=tb)), x1)
+        except Exception as e:  # noqa: BLE001 — ladder past Mosaic failures
+            print(f"fused tb={tb} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
     t("XLA int8 post-MLP (B=64)", rep(
         lambda x: _xla_tail(pf, params, x)), x1)
 
@@ -86,13 +93,18 @@ def main():
     state3 = init_state_jit(modules3, cfg3, jax.random.PRNGKey(0))
     for prec, tile in [("int8_fused", 64), ("int8_fused", 128),
                        ("int8_fused", 256), ("int8", 64)]:
-        eng = FastSim.from_state(
-            modules3, state3, use_ema=False, batch_size=32768, precision=prec)
-        eng._build_switch(tile=tile)
-        stats = eng.throughput_bulk(n_showers=131072)
-        sps = stats["showers_per_sec"]
-        print(f"bulk {prec:11s} T={tile:3d}: {sps:10,.0f} showers/s "
-              f"({1e6/sps:6.2f} us/shower)", flush=True)
+        try:
+            eng = FastSim.from_state(
+                modules3, state3, use_ema=False, batch_size=32768,
+                precision=prec)
+            eng._build_switch(tile=tile)
+            stats = eng.throughput_bulk(n_showers=131072)
+            sps = stats["showers_per_sec"]
+            print(f"bulk {prec:11s} T={tile:3d}: {sps:10,.0f} showers/s "
+                  f"({1e6/sps:6.2f} us/shower)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"bulk {prec} T={tile} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
 
 
 def _xla_tail(pf, params, x):

@@ -492,9 +492,11 @@ def fast_generator_apply(
         # single custom-call boundary per dispatch tile, all intermediates
         # VMEM-resident (see zdcsim/ops/pallas_decode_fused.py for the
         # profiling that motivates it). Input is the pre-LN Dense_1 output.
-        from zdcsim.ops.pallas_decode_fused import fused_decode_from_params
+        from zdcsim.ops import pallas_decode_fused as pdf
 
-        return fused_decode_from_params(p, x)[..., None].astype(noise.dtype)
+        return pdf.fused_decode_from_params(
+            p, x, block_rows=pdf.FUSED_BLOCK_ROWS
+        )[..., None].astype(noise.dtype)
     if use_pallas_ab:
         from zdcsim.ops.pallas_decode import ln_leaky_rowquant, up2_conv4_int8
 

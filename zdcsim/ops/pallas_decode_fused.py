@@ -72,6 +72,12 @@ _PHASE_OFFSETS = {
 }
 _PHASES = ("ee", "eo", "oe", "oo")
 
+# Sample-block size per grid step. VMEM at tb=8: ~9.4 MB scratch +
+# ~4.2 MB weight constants + blocks — near the 16 MB/core budget; tb=4
+# is the fallback if Mosaic rejects 8. Settable by perf experiments;
+# fast_generator_apply(int8_backend="fused") reads it at trace time.
+FUSED_BLOCK_ROWS = 8
+
 _ROW_MAP = np.floor((np.arange(HG) + 0.5) * H1 / HG).astype(int)
 _COL_MAP = np.floor((np.arange(WG) + 0.5) * W1 / WG).astype(int)
 # rows are periodic: output rows k::8 <- source rows _ROW_PAT[k]::5
