@@ -91,19 +91,23 @@ def main():
     cfg3 = load_config(overrides=["model.n_experts=3"])
     modules3 = build_moe(cfg3)
     state3 = init_state_jit(modules3, cfg3, jax.random.PRNGKey(0))
-    for prec, tile in [("int8_fused", 64), ("int8_fused", 128),
-                       ("int8_fused", 256), ("int8", 64)]:
+    from zdcsim.ops import pallas_decode_fused as pdf
+
+    for prec, tile, tb in [("int8_fused", 64, 8), ("int8_fused", 128, 8),
+                           ("int8_fused", 256, 8), ("int8_fused", 64, 4),
+                           ("int8", 64, 8)]:
         try:
+            pdf.FUSED_BLOCK_ROWS = tb
             eng = FastSim.from_state(
                 modules3, state3, use_ema=False, batch_size=32768,
                 precision=prec)
             eng._build_switch(tile=tile)
             stats = eng.throughput_bulk(n_showers=131072)
             sps = stats["showers_per_sec"]
-            print(f"bulk {prec:11s} T={tile:3d}: {sps:10,.0f} showers/s "
+            print(f"bulk {prec:11s} T={tile:3d} tb={tb}: {sps:10,.0f} showers/s "
                   f"({1e6/sps:6.2f} us/shower)", flush=True)
         except Exception as e:  # noqa: BLE001
-            print(f"bulk {prec} T={tile} FAILED: {type(e).__name__}: "
+            print(f"bulk {prec} T={tile} tb={tb} FAILED: {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)
 
 
