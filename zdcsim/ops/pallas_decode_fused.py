@@ -206,20 +206,55 @@ def _make_fused_kernel(tb: int, apply_expm1: bool):
             phase_vals.append(val)
 
         v_ee, v_eo, v_oe, v_oo = phase_vals
-        rows_even = _interleave_vals(v_ee, v_eo[:, :, : W0 - 1], 2)  # [TB,18,19,C1]
-        rows_odd = _interleave_vals(
-            v_oe[:, : H0 - 1], v_oo[:, : H0 - 1, : W0 - 1], 2
-        )  # [TB,17,19,C1]
-        y0 = _interleave_vals(rows_even, rows_odd, 1)  # [TB,35,19,C1]
-
-        # ---- GN0 + LeakyReLU + per-sample quant on the 35x19 grid ----
-        yg0 = _gn_leaky(
-            y0, gm1_ref[:],
-            g0s_ref[:].astype(jnp.float32).reshape(1, 1, 1, C1),
-            g0b_ref[:].astype(jnp.float32).reshape(1, 1, 1, C1),
-            float(H1 * W1 * (C1 // 32)),
+        # ---- GN0 + LeakyReLU + per-sample quant, PER PHASE ----
+        # The four parity phases PARTITION the 35x19 grid (ee 18x10 + eo
+        # 18x9 + oe 17x10 + oo 17x9 = 665 = 35*19), so GN0 group sums
+        # accumulate exactly from the phase values and each phase can be
+        # normalized + quantized to int8 BEFORE the interleave: the
+        # full-grid f32 y0 is never materialized (~4 MB lower VMEM peak at
+        # tb=8) and the interleave/resize shuffles move int8, not f32.
+        gm1 = gm1_ref[:]
+        used_slices = (
+            lambda v: v,
+            lambda v: v[:, :, : W0 - 1],
+            lambda v: v[:, : H0 - 1],
+            lambda v: v[:, : H0 - 1, : W0 - 1],
         )
-        q1, s1a = _rowquant(yg0, tb)  # [TB,35,19,C1] int8, [TB]
+        s1s = s2s = 0.0
+        for v, sl in zip(phase_vals, used_slices):
+            u = sl(v)
+            s1s = s1s + jnp.einsum("bhwc,cg->bg", u, gm1)
+            s2s = s2s + jnp.einsum("bhwc,cg->bg", u * u, gm1)
+        cnt0 = float(H1 * W1 * (C1 // 32))
+        mu_g = s1s / cnt0
+        var_g = jnp.maximum(s2s / cnt0 - mu_g * mu_g, 0.0)
+        mu_c = jnp.einsum("bg,cg->bc", mu_g, gm1)[:, None, None, :]
+        inv_c = jnp.einsum(
+            "bg,cg->bc", jax.lax.rsqrt(var_g + 1e-6), gm1
+        )[:, None, None, :]
+        g0s = g0s_ref[:].astype(jnp.float32).reshape(1, 1, 1, C1)
+        g0b = g0b_ref[:].astype(jnp.float32).reshape(1, 1, 1, C1)
+
+        def _n0(v):
+            o = (v - mu_c) * inv_c * g0s + g0b
+            return jnp.where(o >= 0, o, 0.1 * o)
+
+        norm_vals = [_n0(v) for v in phase_vals]
+        # shared per-sample quant scale over the USED positions only
+        m = jnp.zeros((tb,), jnp.float32)
+        for n, sl in zip(norm_vals, used_slices):
+            m = jnp.maximum(m, jnp.max(jnp.abs(sl(n).reshape(tb, -1)), axis=1))
+        s1a = jnp.maximum(m / 127.0, 1e-12)  # [TB]
+        sb0 = s1a.reshape(tb, 1, 1, 1)
+        n_ee, n_eo, n_oe, n_oo = (
+            jnp.clip(jnp.round(n / sb0), -127, 127).astype(jnp.int8)
+            for n in norm_vals
+        )
+        rows_even = _interleave_vals(n_ee, n_eo[:, :, : W0 - 1], 2)  # [TB,18,19,C1]
+        rows_odd = _interleave_vals(
+            n_oe[:, : H0 - 1], n_oo[:, : H0 - 1, : W0 - 1], 2
+        )  # [TB,17,19,C1]
+        q1 = _interleave_vals(rows_even, rows_odd, 1)  # [TB,35,19,C1] int8
 
         # ---- nearest resize 35x19 -> 56x30 (int8, value level) ----
         qc = jnp.stack([q1[:, :, int(c), :] for c in _COL_MAP], axis=2)
