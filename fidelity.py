@@ -47,6 +47,7 @@ def main() -> int:
     exp_dir = sys.argv[1] if len(sys.argv) > 2 else DEFAULT_RUN
     epoch = int(sys.argv[2]) if len(sys.argv) > 2 else DEFAULT_EPOCH
     use_ema = (sys.argv[3] if len(sys.argv) > 3 else "ema") == "ema"
+    precision = sys.argv[4] if len(sys.argv) > 4 else "int8"
 
     # The checkpoint's training data recipe (synthetic GEANT4-like set; the
     # split indices reload from the run dir so test membership matches).
@@ -73,7 +74,7 @@ def main() -> int:
 
     engine = FastSim.from_checkpoint(
         cfg, DIR_MODELS.format(EXPERIMENT_DIR_NAME=exp_dir), epoch,
-        use_ema=use_ema, batch_size=2048, precision="int8",
+        use_ema=use_ema, batch_size=2048, precision=precision,
     )
     ws_full, ws_half = [], []
     for d in range(N_DRAWS):
@@ -98,6 +99,7 @@ def main() -> int:
         "criterion_x_floor": CRITERION,
         "checkpoint": f"{exp_dir}@{epoch}",
         "weights": "ema" if use_ema else "raw",
+        "precision": precision,
         "n_test": n,
     }))
     return 0
