@@ -103,6 +103,29 @@ class FastSim:
             "int8_fused": "fused",
         }.get(precision, "xla")
 
+        # Neutron fast path: fold the eval-mode BatchNorm affines into the
+        # Dense/Conv weights ONCE (exact — zdcsim/models/neutron_fast.py),
+        # serve the folded tree; int8 additionally puts the three inner
+        # convs on the int8 MXU. norm="group" trees (no batch_stats) keep
+        # the module forward.
+        self._fast_neutron = False
+        if (
+            fast and modules.names.get("generator") == "GeneratorNeutron"
+            and "batch_stats" in gen_stats
+        ):
+            from zdcsim.models.neutron_fast import (
+                fold_neutron_params, is_foldable,
+            )
+
+            if is_foldable(gen_params):
+                gen_params = jax.vmap(fold_neutron_params)(
+                    gen_params, gen_stats["batch_stats"]
+                )
+                gen_stats = {}
+                self._fast_neutron = True
+                if precision in _int8_precisions:
+                    self._int8 = True
+
         gen_params = _cast_tree(gen_params, dtype)
         gen_stats = _cast_tree(gen_stats, dtype)
         if mesh is not None:
@@ -139,6 +162,13 @@ class FastSim:
                     lambda p, z, c: fast_generator_apply(
                         p, z, c, int8=self._int8, int8_backend=self._int8_backend
                     ),
+                    in_axes=(0, None, None),
+                )(gp, noise, cond.astype(dtype))
+            elif self._fast_neutron:
+                from zdcsim.models.neutron_fast import fast_neutron_apply
+
+                imgs = jax.vmap(
+                    lambda p, z, c: fast_neutron_apply(p, z, c, int8=self._int8),
                     in_axes=(0, None, None),
                 )(gp, noise, cond.astype(dtype))
             else:
@@ -183,6 +213,7 @@ class FastSim:
         router_mod = self.modules.router
         gen_single = self.modules.generator_single
         use_fast = self.uses_fast_path
+        fast_neutron = self._fast_neutron
         e_count = self.modules.n_experts
         noise_dim = self.noise_dim
         mesh = self._mesh
@@ -197,6 +228,10 @@ class FastSim:
                     img = fast_generator_apply(
                         gp_e, z, c.astype(dtype), int8=int8, int8_backend=int8_backend
                     )
+                elif fast_neutron:
+                    from zdcsim.models.neutron_fast import fast_neutron_apply
+
+                    img = fast_neutron_apply(gp_e, z, c.astype(dtype), int8=int8)
                 else:
                     gs_e = jax.tree_util.tree_map(lambda p: p[e], gs)
                     img = gen_single.apply({"params": gp_e, **gs_e}, z, c.astype(dtype), False)
@@ -416,6 +451,13 @@ class FastSim:
             gp_e = jax.tree_util.tree_map(lambda p: p[expert], gp)
             gs_e = jax.tree_util.tree_map(lambda p: p[expert], gs)
             noise = jax.random.normal(key, (cond.shape[0], self.noise_dim), dtype)
+            if self._fast_neutron:
+                from zdcsim.models.neutron_fast import fast_neutron_apply
+
+                imgs = fast_neutron_apply(
+                    gp_e, noise, cond.astype(dtype), int8=self._int8
+                )
+                return jnp.expm1(imgs[..., 0].astype(jnp.float32))
             variables = {"params": gp_e, **gs_e}
             mutable = list(gs_e.keys())
             if mutable:
