@@ -50,9 +50,13 @@ class FastSim:
             (dense 8192 at E=3 f32 OOMs a 16 GB chip — measured; an explicit
             batch_size applies to every path unchecked).
         precision: "f32", "bf16" (decode in bfloat16, outputs float32), or
-            "int8" (bf16 base + the two dominant proton convs on the int8
-            MXU path — measured 1.8x conv throughput on v5e; requires the
-            fast proton path, falls back to bf16 otherwise).
+            "int8" (bf16 base + the dominant convs on the int8 MXU —
+            measured 1.8x conv throughput on v5e for the proton path;
+            the neutron path folds BatchNorm and int8s its three inner
+            convs). Requires a fast path (proton Generator, or neutron
+            GeneratorNeutron with norm="batch"); falls back to bf16
+            otherwise. "int8_pallas"/"int8_pallas_ab"/"int8_fused" select
+            Pallas decode kernels (proton only).
         scaler_cond: optional StandardScaler to standardize raw kinematics.
         mesh: optional jax Mesh — batch shards over its 'data' axis.
     """
