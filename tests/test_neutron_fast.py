@@ -109,3 +109,24 @@ def test_engine_neutron_group_norm_falls_back():
     cond = np.random.default_rng(0).normal(size=(B, 9)).astype(np.float32)
     out = np.asarray(eng.simulate(cond, jax.random.PRNGKey(1)))
     assert out.shape == (B, 44, 44) and np.isfinite(out).all()
+
+
+def test_engine_neutron_ema_int8_smoke():
+    """EMA serving weights + int8 through the neutron fold: the EMA tree
+    shadows the BN scale/bias params while batch_stats stay live — the
+    fold must consume both without structure errors."""
+    from zdcsim.inference import FastSim
+    from zdcsim.models import build_moe
+    from zdcsim.train.state import init_state
+
+    cfg = _neutron_cfg("batch")
+    modules = build_moe(cfg)
+    state = init_state(modules, cfg, jax.random.PRNGKey(0))
+    eng = FastSim.from_state(
+        modules, state, batch_size=B, precision="int8", use_ema=True
+    )
+    assert eng._fast_neutron and eng._int8
+    cond = np.random.default_rng(1).normal(size=(B, 9)).astype(np.float32)
+    out = np.asarray(eng.simulate(cond, jax.random.PRNGKey(2)))
+    assert out.shape == (B, 44, 44)
+    assert np.isfinite(out).all() and out.min() >= 0.0
