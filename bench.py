@@ -22,6 +22,10 @@ BASELINE_SHOWERS_PER_SEC = 50_000.0
 def main() -> int:
     import jax
 
+    from zdcsim.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
+
     from zdcsim.config import load_config
     from zdcsim.inference import FastSim
     from zdcsim.models import build_moe

@@ -24,6 +24,9 @@ ITERS = 50
 
 
 def main():
+    from zdcsim.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
     print("devices:", jax.devices(), flush=True)
     from zdcsim.models.proton import Generator
     from zdcsim.models import proton_fast as pf

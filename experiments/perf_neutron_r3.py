@@ -17,6 +17,9 @@ sys.path.insert(0, "/root/repo")
 
 
 def main():
+    from zdcsim.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
     print("devices:", jax.devices(), flush=True)
     from zdcsim.config import load_config
     from zdcsim.inference import FastSim

@@ -37,6 +37,10 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    from zdcsim.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
+
     from zdcsim.config import load_config
     from zdcsim.data import get_train_test_data, make_loaders
     from zdcsim.inference import FastSim

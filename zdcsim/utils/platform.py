@@ -22,3 +22,15 @@ def force_cpu(virtual_devices: int | None = None) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+def enable_compile_cache(path: str = "/tmp/zdcsim_tpu_cache") -> None:
+    """Enable JAX's persistent compilation cache (client-side serialized
+    executables keyed by HLO hash). Remote-TPU compiles over the axon
+    tunnel cost 1-4 min each and never survive the process otherwise —
+    chip experiments / bench / fidelity call this first so re-runs of an
+    unchanged program skip the compile."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
