@@ -78,6 +78,18 @@ _PHASES = ("ee", "eo", "oe", "oo")
 # fast_generator_apply(int8_backend="fused") reads it at trace time.
 FUSED_BLOCK_ROWS = 8
 
+def _dbg_out(out_ref, tb, hg, wg, *vals):
+    """Debug-only early-out (``fused_decode(debug_stop_stage=N)``): write a
+    per-sample reduction of the stage-N intermediates to out_ref so chip
+    compile failures inside the Mosaic pipeline can be bisected
+    (experiments/fused_bisect_r3.py)."""
+    acc = jnp.zeros((tb,), jnp.float32)
+    for v in vals:
+        acc = acc + jnp.sum(
+            v.astype(jnp.float32).reshape(tb, -1), axis=1
+        )
+    out_ref[:] = jnp.broadcast_to(acc.reshape(tb, 1, 1), (tb, hg, wg))
+
 _ROW_MAP = np.floor((np.arange(HG) + 0.5) * H1 / HG).astype(int)
 _COL_MAP = np.floor((np.arange(WG) + 0.5) * W1 / WG).astype(int)
 # rows are periodic: output rows k::8 <- source rows _ROW_PAT[k]::5
@@ -122,10 +134,15 @@ def _gn_leaky(y, gmat, scale, bias, count, valid=None):
 
     y: [TB, ..., C]; ``count`` = valid positions x channels-per-group;
     ``valid`` (broadcastable 0/1) masks garbage positions out of the
-    statistics — their values must already be zero."""
-    letters = "bpc" if y.ndim == 3 else "bhwc"
-    s1 = jnp.einsum(f"{letters},cg->bg", y, gmat)
-    s2 = jnp.einsum(f"{letters},cg->bg", y * y, gmat)
+    statistics — their values must already be zero.
+
+    Stats are position-sums (single-axis reduce on 3D, which Mosaic
+    handles) followed by a 2D [TB,C]@[C,G] matmul — NOT one einsum over
+    (positions, channels): multi-axis partial reductions on rank>=3
+    SIGABRT this Mosaic version (experiments/fused_bisect3_r3.py)."""
+    y3 = y.reshape(y.shape[0], -1, y.shape[-1])
+    s1 = jnp.sum(y3, axis=1) @ gmat
+    s2 = jnp.sum(y3 * y3, axis=1) @ gmat
     mu_g = s1 / count
     var_g = jnp.maximum(s2 / count - mu_g * mu_g, 0.0)
     mu_c = jnp.einsum("bg,cg->bc", mu_g, gmat)
@@ -148,7 +165,7 @@ def _rowquant(y, tb):
     return q, s
 
 
-def _make_fused_kernel(tb: int, apply_expm1: bool):
+def _make_fused_kernel(tb: int, apply_expm1: bool, stop: int | None = None):
     m0 = tb * H0 * W0
     mg = tb * HG * WG
 
@@ -163,15 +180,20 @@ def _make_fused_kernel(tb: int, apply_expm1: bool):
         xpad0, xpadg, y1q, y2q,
     ):
         # ---- LayerNorm + LeakyReLU + per-sample int8 quant (kernel A) ----
-        x = x_ref[:].astype(jnp.float32)  # [TB, 180, 512]
-        mu = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.mean((x - mu) * (x - mu), axis=(1, 2), keepdims=True)
+        # Flattened to 2D [TB, 92160]: axis-(1,2) reductions on the 3D
+        # block SIGABRT Mosaic (fused_bisect3); 2D axis-1 reduces are fine.
+        x = x_ref[:].astype(jnp.float32).reshape(tb, H0 * W0 * C0)
+        mu = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.mean((x - mu) * (x - mu), axis=1, keepdims=True)
         z = (x - mu) * jax.lax.rsqrt(var + 1e-6)
-        z = z * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+        z = z * lns_ref[:].astype(jnp.float32).reshape(1, -1) \
+            + lnb_ref[:].astype(jnp.float32).reshape(1, -1)
         z = jnp.where(z >= 0, z, 0.1 * z)
-        mx = jnp.max(jnp.abs(z), axis=(1, 2), keepdims=True)
-        sx = jnp.maximum(mx / 127.0, 1e-12)  # [TB, 1, 1]
+        mx = jnp.max(jnp.abs(z), axis=1, keepdims=True)
+        sx = jnp.maximum(mx / 127.0, 1e-12)  # [TB, 1]
         xq = jnp.clip(jnp.round(z / sx), -127, 127).astype(jnp.int8)
+        if stop == 1:
+            return _dbg_out(out_ref, tb, HG, WG, xq)
 
         # ---- Conv_0: parity-phase taps on the flat halo scratch ----
         xpad0[_PAD0:_PAD0 + m0, :] = xq.reshape(m0, C0)
@@ -205,6 +227,8 @@ def _make_fused_kernel(tb: int, apply_expm1: bool):
             val = (val + bias0[None, None, :]).reshape(tb, H0, W0, C1)
             phase_vals.append(val)
 
+        if stop == 2:
+            return _dbg_out(out_ref, tb, HG, WG, *phase_vals)
         v_ee, v_eo, v_oe, v_oo = phase_vals
         # ---- GN0 + LeakyReLU + per-sample quant, PER PHASE ----
         # The four parity phases PARTITION the 35x19 grid (ee 18x10 + eo
@@ -220,11 +244,17 @@ def _make_fused_kernel(tb: int, apply_expm1: bool):
             lambda v: v[:, : H0 - 1],
             lambda v: v[:, : H0 - 1, : W0 - 1],
         )
-        s1s = s2s = 0.0
+        # Channel-sums per phase (3D axis-1 reduce) then one 2D matmul
+        # against the group matrix — multi-axis einsum reductions on
+        # rank-4 SIGABRT Mosaic (see _gn_leaky).
+        cs = cs2 = 0.0
         for v, sl in zip(phase_vals, used_slices):
             u = sl(v)
-            s1s = s1s + jnp.einsum("bhwc,cg->bg", u, gm1)
-            s2s = s2s + jnp.einsum("bhwc,cg->bg", u * u, gm1)
+            u3 = u.reshape(tb, -1, C1)
+            cs = cs + jnp.sum(u3, axis=1)
+            cs2 = cs2 + jnp.sum(u3 * u3, axis=1)
+        s1s = cs @ gm1
+        s2s = cs2 @ gm1
         cnt0 = float(H1 * W1 * (C1 // 32))
         mu_g = s1s / cnt0
         var_g = jnp.maximum(s2s / cnt0 - mu_g * mu_g, 0.0)
@@ -250,20 +280,32 @@ def _make_fused_kernel(tb: int, apply_expm1: bool):
             jnp.clip(jnp.round(n / sb0), -127, 127).astype(jnp.int8)
             for n in norm_vals
         )
+        if stop == 3:
+            return _dbg_out(out_ref, tb, HG, WG, n_ee, n_eo, n_oe, n_oo)
         rows_even = _interleave_vals(n_ee, n_eo[:, :, : W0 - 1], 2)  # [TB,18,19,C1]
         rows_odd = _interleave_vals(
             n_oe[:, : H0 - 1], n_oo[:, : H0 - 1, : W0 - 1], 2
         )  # [TB,17,19,C1]
         q1 = _interleave_vals(rows_even, rows_odd, 1)  # [TB,35,19,C1] int8
+        if stop == 4:
+            return _dbg_out(out_ref, tb, HG, WG, q1)
 
         # ---- nearest resize 35x19 -> 56x30 (int8, value level) ----
         qc = jnp.stack([q1[:, :, int(c), :] for c in _COL_MAP], axis=2)
-        # rows: out k::8 <- src _ROW_PAT[k]::5 (7 groups x 8 phases = 56)
+        if stop == 5:
+            return _dbg_out(out_ref, tb, HG, WG, qc)
+        # rows: out k::8 <- src _ROW_PAT[k]::5 (7 groups x 8 phases = 56).
+        # Static indexing on a [TB, 7, 5, ...] reshape, NOT qc[:, pat::5]:
+        # jax 0.9 lowers strided basic indexing to iota+gather, which
+        # Mosaic rejects for >2D operands ("Only 2D gather is supported").
+        qg = qc.reshape(tb, H1 // 5, 5, WG, C1)
         row_phases = jnp.stack(
-            [qc[:, _ROW_PAT[k]:H1:5, :, :] for k in range(8)], axis=2
+            [qg[:, :, _ROW_PAT[k], :, :] for k in range(8)], axis=2
         )  # [TB, 7, 8, 30, C1]
         xr = row_phases.reshape(tb, HG, WG, C1)
         xpadg[_PADG:_PADG + mg, :] = xr.reshape(mg, C1)
+        if stop == 6:
+            return _dbg_out(out_ref, tb, HG, WG, xr)
 
         # ---- Conv_1 (naive 16-tap on the resized grid) ----
         midxg = jax.lax.broadcasted_iota(jnp.int32, (mg, 1), 0)
@@ -293,6 +335,8 @@ def _make_fused_kernel(tb: int, apply_expm1: bool):
         # acts as padding for conv2 and stays out of GN1 statistics
         okg = ((ig < HG - 1) & (jg < WG - 1)).reshape(tb, HG * WG, 1)
         v1 = v1 * okg
+        if stop == 7:
+            return _dbg_out(out_ref, tb, HG, WG, v1)
         yg1 = _gn_leaky(
             v1, gm2_ref[:],
             g1s_ref[:].astype(jnp.float32).reshape(1, 1, C2),
@@ -301,6 +345,8 @@ def _make_fused_kernel(tb: int, apply_expm1: bool):
         )
         q2, s2a = _rowquant(yg1, tb)
         y1q[_PADG:_PADG + mg, :] = q2.reshape(mg, C2)
+        if stop == 8:
+            return _dbg_out(out_ref, tb, HG, WG, q2)
 
         # ---- Conv_2 (3x3 pad1 on the 55x29 valid grid) ----
         bias2 = b2_ref[0].astype(jnp.float32)
@@ -331,6 +377,8 @@ def _make_fused_kernel(tb: int, apply_expm1: bool):
             float((HG - 1) * (WG - 1) * (C3 // 32)), valid=okg,
         )
         y2q[_PADG:_PADG + mg, :] = yg2.reshape(mg, C3)
+        if stop == 9:
+            return _dbg_out(out_ref, tb, HG, WG, yg2)
 
         # ---- Conv_3 (2x2 pad1, f32) + ReLU [+ expm1] ----
         bias3 = b3_ref[:].astype(jnp.float32)  # [1, 8]
@@ -359,7 +407,8 @@ def _make_fused_kernel(tb: int, apply_expm1: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("apply_expm1", "block_rows", "interpret")
+    jax.jit,
+    static_argnames=("apply_expm1", "block_rows", "interpret", "debug_stop_stage"),
 )
 def fused_decode(
     x: jnp.ndarray,
@@ -374,6 +423,7 @@ def fused_decode(
     apply_expm1: bool = False,
     block_rows: int = 8,
     interpret: bool | None = None,
+    debug_stop_stage: int | None = None,
 ) -> jnp.ndarray:
     """Run the fused decode. ``x``: [B, 92160] Dense_1 output (pre-LN).
 
@@ -404,7 +454,7 @@ def fused_decode(
     const = lambda *dims: pl.BlockSpec(dims, lambda i: (0,) * len(dims),  # noqa: E731
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _make_fused_kernel(tb, apply_expm1),
+        _make_fused_kernel(tb, apply_expm1, debug_stop_stage),
         grid=(b // tb,),
         in_specs=[
             pl.BlockSpec((tb, H0 * W0, C0), lambda i: (i, 0, 0),
