@@ -20,9 +20,26 @@ copies. Reference semantics: the serving forward of
 5-53 "Generator-v5-bigkernel-res56x30"), already re-derived in
 ``zdcsim.models.proton_fast.fast_generator_apply``.
 
+V2 — MASKLESS PADDED-GRID TAPS. The first chip measurement of this
+kernel (v1, flat-shift halo + per-tap iota validity masks) ran 49.2
+us/sample at tb=4 — 2x SLOWER than the XLA int8 path (24.6) — and the
+tb=8 compile killed the remote compile helper. The cost model explains
+both: 45 taps x ``jnp.where(ok, xs, 0)`` on [m, C] int8 operands is
+~40M VPU select-elements per sample block (conv1 alone: 16 x [6720,
+256]), swamping the ~4 us/sample of MXU work, and the unrolled selects
+blow up the Mosaic program. V2 stores every conv input on a true
+2D-zero-padded grid in VMEM (halo row top / 2 bottom, halo col left /
+2 right on the 56x30 grid; 1 all around the 18x10 MLP grid) so EVERY
+tap is a plain contiguous int8 slice feeding the MXU — no masks at
+all. Outputs are computed at every padded position (+16% MACs on the
+G grid, +33% on the tiny conv0 grid) and garbage positions are zeroed
+ONCE per stage by a single iota validity multiply, which also keeps
+them out of the GroupNorm statistics and keeps the halos of the NEXT
+stage's input zero.
+
 Techniques (measured in this repo, see pallas_decode.py docstrings):
-- convs as per-tap int8 ``dot_general`` on a flat [M, C] halo-padded VMEM
-  scratch with iota validity masks (kernel B pattern);
+- convs as per-tap int8 ``dot_general`` on a flat [M, C] zero-halo VMEM
+  scratch (kernel B pattern, minus the masks — see above);
 - GroupNorm statistics as MXU contractions against a 0/1 group-membership
   matrix — no lane-crossing reshapes (kernel C pattern);
 - Conv_0's four parity phases (proton_fast.fused_upsample2_conv4 algebra:
@@ -31,10 +48,10 @@ Techniques (measured in this repo, see pallas_decode.py docstrings):
 - the 35x19 -> 56x30 nearest resize done on int8 values in VMEM: columns
   as 30 static gathers, rows via the periodic 8-outputs-per-5-sources
   pattern (8 strided slices + one stack/reshape interleave);
-- Conv_1/2/3 all computed on the uniform 56x30 grid with the invalid
-  tail row/column kept at zero so it doubles as conv padding (Conv_1's
-  valid output is 55x29; Conv_3's 2x2 pad-1 conv then lands exactly back
-  on 56x30, matching the module forward).
+- Conv_1/2/3 all computed on the uniform padded grid with invalid
+  positions kept at zero so they double as conv padding (Conv_1's
+  valid output is 55x29; Conv_3's 2x2 pad-1 conv then lands exactly
+  back on 56x30, matching the module forward).
 
 Quantization: per-sample activation scales at every int8 stage (finer
 than the XLA path's per-tensor scales), per-cout weight scales; Conv_3
@@ -61,8 +78,15 @@ H0, W0, C0 = 18, 10, 512
 H1, W1, C1 = 35, 19, 256  # conv0 output (valid grid)
 HG, WG = 56, 30  # resized / final grid
 C2, C3 = 128, 64
-_PAD0 = 16  # conv0 flat-shift halo (|dr*W0 + dc| <= 11)
-_PADG = 64  # conv1..3 flat-shift halo on the 56x30 grid (4x4 taps: shift in [-31, 62])
+
+# Padded-grid geometry (v2). Conv0 phase offsets are within {-1,0,1}:
+# 1-cell halo all around the MLP grid. Conv_1 is a 4x4 with offsets
+# {-1..2}: 1 top/left + 2 bottom/right halo around the 56x30 grid —
+# conv2 (3x3) and conv3 (2x2) offsets are subsets.
+H0P, W0P = H0 + 2, W0 + 2  # 20 x 12
+HGP, WGP = HG + 3, WG + 3  # 59 x 33
+_PAD0 = 32  # conv0 flat halo (|dr*W0P + dc| <= 13)
+_PADG = 128  # conv1..3 flat halo (|(a-1)*WGP + (c-1)| <= 68)
 
 _PHASE_OFFSETS = {
     "ee": [(a - 1, b - 1) for a in range(3) for b in range(3)],
@@ -71,10 +95,12 @@ _PHASE_OFFSETS = {
     "oo": [(a, b) for a in range(2) for b in range(2)],
 }
 _PHASES = ("ee", "eo", "oe", "oo")
+# Rows/cols of the padded conv0 grid each phase actually uses (the four
+# phases partition the 35x19 grid: 18x10 + 18x9 + 17x10 + 17x9 = 665).
+_PHASE_USED = {"ee": (H0, W0), "eo": (H0, W0 - 1),
+               "oe": (H0 - 1, W0), "oo": (H0 - 1, W0 - 1)}
 
-# Sample-block size per grid step. VMEM at tb=8: ~9.4 MB scratch +
-# ~4.2 MB weight constants + blocks — near the 16 MB/core budget; tb=4
-# is the fallback if Mosaic rejects 8. Settable by perf experiments;
+# Sample-block size per grid step. Settable by perf experiments;
 # fast_generator_apply(int8_backend="fused") reads it at trace time.
 FUSED_BLOCK_ROWS = 8
 
@@ -129,12 +155,24 @@ def _interleave_vals(even, odd, axis):
     return out[tuple(idx)]
 
 
-def _gn_leaky(y, gmat, scale, bias, count, valid=None):
+def _valid01(m: int, wp: int, hp: int, i_lim: tuple, j_lim: tuple):
+    """[m, 1] f32 0/1 mask for padded-grid positions with row in
+    ``i_lim`` = (lo, hi) and col in ``j_lim`` (both inclusive)."""
+    midx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    i = (midx // wp) % hp
+    j = midx % wp
+    ok = ((i >= i_lim[0]) & (i <= i_lim[1])
+          & (j >= j_lim[0]) & (j <= j_lim[1]))
+    return ok.astype(jnp.float32)
+
+
+def _gn_leaky(y, gmat, scale, bias, count, valid):
     """GroupNorm + LeakyReLU via MXU group contractions (kernel C pattern).
 
-    y: [TB, ..., C]; ``count`` = valid positions x channels-per-group;
-    ``valid`` (broadcastable 0/1) masks garbage positions out of the
-    statistics — their values must already be zero.
+    y: [TB, P, C] with garbage positions ALREADY ZEROED (``valid`` is the
+    [TB, P, 1]-broadcastable 0/1 mask that zeroed them); ``count`` = valid
+    positions x channels-per-group. The normalized output is re-masked
+    (normalization shifts zeros to -mu*inv*scale+bias).
 
     Stats are position-sums (single-axis reduce on 3D, which Mosaic
     handles) followed by a 2D [TB,C]@[C,G] matmul — NOT one einsum over
@@ -151,9 +189,7 @@ def _gn_leaky(y, gmat, scale, bias, count, valid=None):
     out = (y - mu_c.reshape(bshape)) * inv_c.reshape(bshape)
     out = out * scale + bias
     out = jnp.where(out >= 0, out, 0.1 * out)
-    if valid is not None:
-        out = out * valid
-    return out
+    return out * valid
 
 
 def _rowquant(y, tb):
@@ -166,8 +202,8 @@ def _rowquant(y, tb):
 
 
 def _make_fused_kernel(tb: int, apply_expm1: bool, stop: int | None = None):
-    m0 = tb * H0 * W0
-    mg = tb * HG * WG
+    m0 = tb * H0P * W0P
+    mg = tb * HGP * WGP
 
     def kernel(
         x_ref, lns_ref, lnb_ref,
@@ -195,11 +231,15 @@ def _make_fused_kernel(tb: int, apply_expm1: bool, stop: int | None = None):
         if stop == 1:
             return _dbg_out(out_ref, tb, HG, WG, xq)
 
-        # ---- Conv_0: parity-phase taps on the flat halo scratch ----
-        xpad0[_PAD0:_PAD0 + m0, :] = xq.reshape(m0, C0)
-        midx0 = jax.lax.broadcasted_iota(jnp.int32, (m0, 1), 0)
-        i0 = (midx0 // W0) % H0
-        j0 = midx0 % W0
+        # zero-halo padded write: taps below need no validity masks
+        xq4 = jnp.pad(
+            xq.reshape(tb, H0, W0, C0), ((0, 0), (1, 1), (1, 1), (0, 0))
+        )
+        xpad0[:_PAD0, :] = jnp.zeros((_PAD0, C0), jnp.int8)
+        xpad0[_PAD0:_PAD0 + m0, :] = xq4.reshape(m0, C0)
+        xpad0[_PAD0 + m0:, :] = jnp.zeros((_PAD0, C0), jnp.int8)
+
+        # ---- Conv_0: parity-phase taps, maskless contiguous slices ----
         bias0 = b0_ref[0].astype(jnp.float32)
         sxc = sx.reshape(tb, 1)
 
@@ -208,14 +248,9 @@ def _make_fused_kernel(tb: int, apply_expm1: bool, stop: int | None = None):
         for name in _PHASES:
             acc = jnp.zeros((m0, C1), jnp.int32)
             for (dr, dc) in _PHASE_OFFSETS[name]:
-                sft = dr * W0 + dc
-                xs = xpad0[_PAD0 + sft:_PAD0 + sft + m0, :]
-                ok = (
-                    (i0 + dr >= 0) & (i0 + dr < H0)
-                    & (j0 + dc >= 0) & (j0 + dc < W0)
-                )
+                sft = dr * W0P + dc
                 acc = acc + jax.lax.dot_general(
-                    jnp.where(ok, xs, jnp.int8(0)), k0_ref[tap],
+                    xpad0[_PAD0 + sft:_PAD0 + sft + m0, :], k0_ref[tap],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
@@ -223,69 +258,71 @@ def _make_fused_kernel(tb: int, apply_expm1: bool, stop: int | None = None):
             p = len(phase_vals)
             skp = s0_ref[p].astype(jnp.float32)  # [C1]
             val = acc.astype(jnp.float32) * skp[None, :]
-            val = val.reshape(tb, H0 * W0, C1) * sxc[:, :, None]
-            val = (val + bias0[None, None, :]).reshape(tb, H0, W0, C1)
-            phase_vals.append(val)
+            val = val.reshape(tb, H0P * W0P, C1) * sxc[:, :, None]
+            val = val + bias0[None, None, :]
+            # one validity multiply per phase: kills halo garbage (incl.
+            # the bias just added there) and the phase's unused tail
+            # row/col, so whole-tensor sums give exact GN0 statistics
+            hu, wu = _PHASE_USED[name]
+            vmask = _valid01(H0P * W0P, W0P, H0P, (1, hu), (1, wu))
+            phase_vals.append(val * vmask[None, :, :])
 
         if stop == 2:
             return _dbg_out(out_ref, tb, HG, WG, *phase_vals)
-        v_ee, v_eo, v_oe, v_oo = phase_vals
         # ---- GN0 + LeakyReLU + per-sample quant, PER PHASE ----
-        # The four parity phases PARTITION the 35x19 grid (ee 18x10 + eo
-        # 18x9 + oe 17x10 + oo 17x9 = 665 = 35*19), so GN0 group sums
-        # accumulate exactly from the phase values and each phase can be
-        # normalized + quantized to int8 BEFORE the interleave: the
-        # full-grid f32 y0 is never materialized (~4 MB lower VMEM peak at
-        # tb=8) and the interleave/resize shuffles move int8, not f32.
+        # The four parity phases PARTITION the 35x19 grid, so GN0 group
+        # sums accumulate exactly from the (masked) phase values and each
+        # phase is normalized + quantized to int8 BEFORE the interleave:
+        # the full-grid f32 y0 is never materialized and the
+        # interleave/resize shuffles move int8, not f32.
         gm1 = gm1_ref[:]
-        used_slices = (
-            lambda v: v,
-            lambda v: v[:, :, : W0 - 1],
-            lambda v: v[:, : H0 - 1],
-            lambda v: v[:, : H0 - 1, : W0 - 1],
-        )
         # Channel-sums per phase (3D axis-1 reduce) then one 2D matmul
         # against the group matrix — multi-axis einsum reductions on
         # rank-4 SIGABRT Mosaic (see _gn_leaky).
         cs = cs2 = 0.0
-        for v, sl in zip(phase_vals, used_slices):
-            u = sl(v)
-            u3 = u.reshape(tb, -1, C1)
-            cs = cs + jnp.sum(u3, axis=1)
-            cs2 = cs2 + jnp.sum(u3 * u3, axis=1)
+        for v in phase_vals:
+            cs = cs + jnp.sum(v, axis=1)
+            cs2 = cs2 + jnp.sum(v * v, axis=1)
         s1s = cs @ gm1
         s2s = cs2 @ gm1
         cnt0 = float(H1 * W1 * (C1 // 32))
         mu_g = s1s / cnt0
         var_g = jnp.maximum(s2s / cnt0 - mu_g * mu_g, 0.0)
-        mu_c = jnp.einsum("bg,cg->bc", mu_g, gm1)[:, None, None, :]
+        mu_c = jnp.einsum("bg,cg->bc", mu_g, gm1)[:, None, :]
         inv_c = jnp.einsum(
             "bg,cg->bc", jax.lax.rsqrt(var_g + 1e-6), gm1
-        )[:, None, None, :]
-        g0s = g0s_ref[:].astype(jnp.float32).reshape(1, 1, 1, C1)
-        g0b = g0b_ref[:].astype(jnp.float32).reshape(1, 1, 1, C1)
+        )[:, None, :]
+        g0s = g0s_ref[:].astype(jnp.float32).reshape(1, 1, C1)
+        g0b = g0b_ref[:].astype(jnp.float32).reshape(1, 1, C1)
 
-        def _n0(v):
+        def _n0(v, name):
             o = (v - mu_c) * inv_c * g0s + g0b
-            return jnp.where(o >= 0, o, 0.1 * o)
+            o = jnp.where(o >= 0, o, 0.1 * o)
+            # re-mask: normalization shifted the zeroed positions
+            hu, wu = _PHASE_USED[name]
+            return o * _valid01(H0P * W0P, W0P, H0P, (1, hu), (1, wu))[None]
 
-        norm_vals = [_n0(v) for v in phase_vals]
-        # shared per-sample quant scale over the USED positions only
+        norm_vals = [_n0(v, n) for v, n in zip(phase_vals, _PHASES)]
+        # shared per-sample quant scale (garbage positions are zero)
         m = jnp.zeros((tb,), jnp.float32)
-        for n, sl in zip(norm_vals, used_slices):
-            m = jnp.maximum(m, jnp.max(jnp.abs(sl(n).reshape(tb, -1)), axis=1))
+        for n in norm_vals:
+            m = jnp.maximum(m, jnp.max(jnp.abs(n.reshape(tb, -1)), axis=1))
         s1a = jnp.maximum(m / 127.0, 1e-12)  # [TB]
-        sb0 = s1a.reshape(tb, 1, 1, 1)
-        n_ee, n_eo, n_oe, n_oo = (
-            jnp.clip(jnp.round(n / sb0), -127, 127).astype(jnp.int8)
+        sb0 = s1a.reshape(tb, 1, 1)
+        qs = [
+            jnp.clip(jnp.round(n / sb0), -127, 127)
+            .astype(jnp.int8).reshape(tb, H0P, W0P, C1)
             for n in norm_vals
-        )
+        ]
+        # interior slices (drop halo + phase-unused tails)
+        n_ee = qs[0][:, 1:1 + H0, 1:1 + W0]
+        n_eo = qs[1][:, 1:1 + H0, 1:W0]
+        n_oe = qs[2][:, 1:H0, 1:1 + W0]
+        n_oo = qs[3][:, 1:H0, 1:W0]
         if stop == 3:
             return _dbg_out(out_ref, tb, HG, WG, n_ee, n_eo, n_oe, n_oo)
-        rows_even = _interleave_vals(n_ee, n_eo[:, :, : W0 - 1], 2)  # [TB,18,19,C1]
-        rows_odd = _interleave_vals(
-            n_oe[:, : H0 - 1], n_oo[:, : H0 - 1, : W0 - 1], 2
-        )  # [TB,17,19,C1]
+        rows_even = _interleave_vals(n_ee, n_eo, 2)  # [TB,18,19,C1]
+        rows_odd = _interleave_vals(n_oe, n_oo, 2)  # [TB,17,19,C1]
         q1 = _interleave_vals(rows_even, rows_odd, 1)  # [TB,35,19,C1] int8
         if stop == 4:
             return _dbg_out(out_ref, tb, HG, WG, q1)
@@ -303,37 +340,38 @@ def _make_fused_kernel(tb: int, apply_expm1: bool, stop: int | None = None):
             [qg[:, :, _ROW_PAT[k], :, :] for k in range(8)], axis=2
         )  # [TB, 7, 8, 30, C1]
         xr = row_phases.reshape(tb, HG, WG, C1)
-        xpadg[_PADG:_PADG + mg, :] = xr.reshape(mg, C1)
+        # zero-halo padded write onto the conv1..3 grid
+        xrp = jnp.pad(xr, ((0, 0), (1, 2), (1, 2), (0, 0)))
+        xpadg[:_PADG, :] = jnp.zeros((_PADG, C1), jnp.int8)
+        xpadg[_PADG:_PADG + mg, :] = xrp.reshape(mg, C1)
+        xpadg[_PADG + mg:, :] = jnp.zeros((_PADG, C1), jnp.int8)
         if stop == 6:
             return _dbg_out(out_ref, tb, HG, WG, xr)
 
-        # ---- Conv_1 (naive 16-tap on the resized grid) ----
-        midxg = jax.lax.broadcasted_iota(jnp.int32, (mg, 1), 0)
-        ig = (midxg // WG) % HG
-        jg = midxg % WG
+        # valid conv output on the padded grid: rows 1..55, cols 1..29
+        # (= the 55x29 valid positions; the tail row/col of the 56x30
+        # grid stays zero, acting as padding exactly like the XLA path)
+        okg = _valid01(HGP * WGP, WGP, HGP, (1, HG - 1), (1, WG - 1))[None]
+        gn_cnt2 = float((HG - 1) * (WG - 1) * (C2 // 32))
+        gn_cnt3 = float((HG - 1) * (WG - 1) * (C3 // 32))
+
+        # ---- Conv_1 (naive 16-tap on the resized grid, maskless) ----
         bias1 = b1_ref[0].astype(jnp.float32)
         acc1 = jnp.zeros((mg, C2), jnp.int32)
         tap = 0
         for a in range(4):
             for c in range(4):
-                sft = (a - 1) * WG + (c - 1)
-                xs = xpadg[_PADG + sft:_PADG + sft + mg, :]
-                ok = (
-                    (ig + a - 1 >= 0) & (ig + a - 1 < HG)
-                    & (jg + c - 1 >= 0) & (jg + c - 1 < WG)
-                )
+                sft = (a - 1) * WGP + (c - 1)
                 acc1 = acc1 + jax.lax.dot_general(
-                    jnp.where(ok, xs, jnp.int8(0)), k1_ref[tap],
+                    xpadg[_PADG + sft:_PADG + sft + mg, :], k1_ref[tap],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
                 tap += 1
         sk1 = s1_ref[:].astype(jnp.float32).reshape(C2)
         v1 = acc1.astype(jnp.float32) * sk1[None, :]
-        v1 = v1.reshape(tb, HG * WG, C2) * s1a[:, None, None] + bias1[None, None, :]
-        # valid conv output = rows 0..54, cols 0..28; zero the tail so it
-        # acts as padding for conv2 and stays out of GN1 statistics
-        okg = ((ig < HG - 1) & (jg < WG - 1)).reshape(tb, HG * WG, 1)
+        v1 = v1.reshape(tb, HGP * WGP, C2) * s1a[:, None, None] \
+            + bias1[None, None, :]
         v1 = v1 * okg
         if stop == 7:
             return _dbg_out(out_ref, tb, HG, WG, v1)
@@ -341,59 +379,54 @@ def _make_fused_kernel(tb: int, apply_expm1: bool, stop: int | None = None):
             v1, gm2_ref[:],
             g1s_ref[:].astype(jnp.float32).reshape(1, 1, C2),
             g1b_ref[:].astype(jnp.float32).reshape(1, 1, C2),
-            float((HG - 1) * (WG - 1) * (C2 // 32)), valid=okg,
+            gn_cnt2, valid=okg,
         )
         q2, s2a = _rowquant(yg1, tb)
+        y1q[:_PADG, :] = jnp.zeros((_PADG, C2), jnp.int8)
         y1q[_PADG:_PADG + mg, :] = q2.reshape(mg, C2)
+        y1q[_PADG + mg:, :] = jnp.zeros((_PADG, C2), jnp.int8)
         if stop == 8:
             return _dbg_out(out_ref, tb, HG, WG, q2)
 
-        # ---- Conv_2 (3x3 pad1 on the 55x29 valid grid) ----
+        # ---- Conv_2 (3x3 pad1 on the 55x29 valid grid, maskless) ----
         bias2 = b2_ref[0].astype(jnp.float32)
         acc2 = jnp.zeros((mg, C3), jnp.int32)
         tap = 0
         for a in range(3):
             for c in range(3):
-                sft = (a - 1) * WG + (c - 1)
-                xs = y1q[_PADG + sft:_PADG + sft + mg, :]
-                ok = (
-                    (ig + a - 1 >= 0) & (ig + a - 1 < HG)
-                    & (jg + c - 1 >= 0) & (jg + c - 1 < WG)
-                )
+                sft = (a - 1) * WGP + (c - 1)
                 acc2 = acc2 + jax.lax.dot_general(
-                    jnp.where(ok, xs, jnp.int8(0)), k2_ref[tap],
+                    y1q[_PADG + sft:_PADG + sft + mg, :], k2_ref[tap],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
                 tap += 1
         sk2 = s2_ref[:].astype(jnp.float32).reshape(C3)
         v2 = acc2.astype(jnp.float32) * sk2[None, :]
-        v2 = v2.reshape(tb, HG * WG, C3) * s2a[:, None, None] + bias2[None, None, :]
+        v2 = v2.reshape(tb, HGP * WGP, C3) * s2a[:, None, None] \
+            + bias2[None, None, :]
         v2 = v2 * okg
         yg2 = _gn_leaky(
             v2, gm3_ref[:],
             g2s_ref[:].astype(jnp.float32).reshape(1, 1, C3),
             g2b_ref[:].astype(jnp.float32).reshape(1, 1, C3),
-            float((HG - 1) * (WG - 1) * (C3 // 32)), valid=okg,
+            gn_cnt3, valid=okg,
         )
+        y2q[:_PADG, :] = jnp.zeros((_PADG, C3), jnp.float32)
         y2q[_PADG:_PADG + mg, :] = yg2.reshape(mg, C3)
+        y2q[_PADG + mg:, :] = jnp.zeros((_PADG, C3), jnp.float32)
         if stop == 9:
             return _dbg_out(out_ref, tb, HG, WG, yg2)
 
-        # ---- Conv_3 (2x2 pad1, f32) + ReLU [+ expm1] ----
+        # ---- Conv_3 (2x2 pad1, f32, maskless) + ReLU [+ expm1] ----
         bias3 = b3_ref[:].astype(jnp.float32)  # [1, 8]
         acc3 = jnp.zeros((mg, 8), jnp.float32)
         tap = 0
         for a in range(2):
             for c in range(2):
-                sft = (a - 1) * WG + (c - 1)
-                xs = y2q[_PADG + sft:_PADG + sft + mg, :]
-                ok = (
-                    (ig + a - 1 >= 0) & (ig + a - 1 < HG)
-                    & (jg + c - 1 >= 0) & (jg + c - 1 < WG)
-                )
+                sft = (a - 1) * WGP + (c - 1)
                 acc3 = acc3 + jax.lax.dot_general(
-                    jnp.where(ok, xs, 0.0), k3_ref[tap],
+                    y2q[_PADG + sft:_PADG + sft + mg, :], k3_ref[tap],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -401,7 +434,7 @@ def _make_fused_kernel(tb: int, apply_expm1: bool, stop: int | None = None):
         v3 = jnp.maximum(acc3 + bias3, 0.0)[:, :1]  # ReLU; real cout 0
         if apply_expm1:
             v3 = jnp.expm1(v3)
-        out_ref[:] = v3.reshape(tb, HG, WG)
+        out_ref[:] = v3.reshape(tb, HGP, WGP)[:, 1:1 + HG, 1:1 + WG]
 
     return kernel
 
@@ -449,8 +482,8 @@ def fused_decode(
         conv3_bias.astype(jnp.float32).reshape(())
     )
 
-    m0 = tb * H0 * W0
-    mg = tb * HG * WG
+    m0 = tb * H0P * W0P
+    mg = tb * HGP * WGP
     const = lambda *dims: pl.BlockSpec(dims, lambda i: (0,) * len(dims),  # noqa: E731
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
