@@ -77,7 +77,11 @@ def main():
         if track_tb is not None and dt * 1e6 / B < best["us"]:
             best.update(us=dt * 1e6 / B, tb=track_tb)
 
-    for tb in (8, 4, 16):
+    # tb=4 first: v1's tb=8 killed the remote compile helper and v2's
+    # tb=8 hung >25 min on chip — big blocks go LAST so a pathological
+    # Mosaic compile can't starve the whole ladder.
+    tbs = [int(a) for a in sys.argv[1:]] or [4, 8, 16]
+    for tb in tbs:
         t0c = time.perf_counter()
         try:
             t(f"fused v2 (B=64, tb={tb})",

@@ -8,7 +8,10 @@ import numpy as np
 
 from zdcsim.models.proton import Generator
 from zdcsim.models.proton_fast import fast_generator_apply
-from zdcsim.ops.pallas_decode_fused import fused_decode_from_params
+from zdcsim.ops.pallas_decode_fused import (
+    fused_decode_from_params,
+    fused_decode_front_from_params,
+)
 
 B = 8
 
@@ -70,6 +73,54 @@ def test_fast_generator_backend_fused():
     a = np.asarray(fast_generator_apply(params, noise, cond, int8=True))
     b = np.asarray(
         fast_generator_apply(params, noise, cond, int8=True, int8_backend="fused")
+    )
+    assert b.shape == a.shape
+    assert np.isfinite(b).all() and b.min() >= 0.0
+    np.testing.assert_allclose(
+        np.log1p(a.sum((1, 2, 3))), np.log1p(b.sum((1, 2, 3))), rtol=0.1
+    )
+
+
+def test_fused_front_matches_xla_int8_resize():
+    """The front kernel's (int8 grid, scale) must dequantize to the same
+    GN0+leaky+resize activations the XLA int8 path computes, within the
+    two paths' quantization granularity (per-sample vs per-tensor)."""
+    from zdcsim.models.proton_fast import (
+        _group_norm, _layer_norm, _leaky, fused_upsample2_conv4,
+    )
+
+    params, noise, cond = _gen_params()
+    x = _dense1_out(params, noise, cond)
+    q, s = fused_decode_front_from_params(params, x, interpret=True)
+    assert q.shape == (B, 56, 30, 256) and s.shape == (B,)
+    deq = np.asarray(q.astype(jnp.float32) * s[:, None, None, None])
+
+    # exact f32 reference of the same stages
+    h = _leaky(_layer_norm(x, params["MLPBlock_1"]["LayerNorm_0"]))
+    h = h.reshape(B, 18, 10, 512)
+    h = fused_upsample2_conv4(h, params["Conv_0"]["kernel"], params["Conv_0"]["bias"])
+    h = _leaky(_group_norm(h, params["GroupNorm2d_0"]["GroupNorm_0"], 256))
+    row_map = np.floor((np.arange(56) + 0.5) * 35 / 56).astype(int)
+    col_map = np.floor((np.arange(30) + 0.5) * 19 / 30).astype(int)
+    ref = np.asarray(h)[:, row_map][:, :, col_map]
+
+    # The front has TWO cascaded int8 quants (pre-Conv_0 and post-GN0):
+    # the final quant bounds each value at ~s/2, but the first quant's
+    # error propagates through conv+GN, so a small fraction of values
+    # legitimately exceeds the last-stage step.
+    err = np.abs(deq - ref)
+    tol = np.asarray(s)[:, None, None, None] * 1.5 + 1e-4
+    assert (err <= tol).mean() > 0.99
+    assert err.mean() <= ref.std() * 0.02
+
+
+def test_fast_generator_backend_fused_front():
+    params, noise, cond = _gen_params()
+    a = np.asarray(fast_generator_apply(params, noise, cond, int8=True))
+    b = np.asarray(
+        fast_generator_apply(
+            params, noise, cond, int8=True, int8_backend="fused_front"
+        )
     )
     assert b.shape == a.shape
     assert np.isfinite(b).all() and b.min() >= 0.0

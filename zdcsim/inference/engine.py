@@ -55,8 +55,8 @@ class FastSim:
             the neutron path folds BatchNorm and int8s its three inner
             convs). Requires a fast path (proton Generator, or neutron
             GeneratorNeutron with norm="batch"); falls back to bf16
-            otherwise. "int8_pallas"/"int8_pallas_ab"/"int8_fused" select
-            Pallas decode kernels (proton only).
+            otherwise. "int8_pallas"/"int8_pallas_ab"/"int8_fused"/
+            "int8_fused_front" select Pallas decode kernels (proton only).
         scaler_cond: optional StandardScaler to standardize raw kinematics.
         mesh: optional jax Mesh — batch shards over its 'data' axis.
     """
@@ -86,7 +86,10 @@ class FastSim:
         self._mesh = mesh
         h, w = modules.image_shape
         self.image_shape = (h, w)
-        _int8_precisions = ("int8", "int8_pallas", "int8_pallas_ab", "int8_fused")
+        _int8_precisions = (
+            "int8", "int8_pallas", "int8_pallas_ab", "int8_fused",
+            "int8_fused_front",
+        )
         dtype = (
             jnp.bfloat16 if precision in ("bf16",) + _int8_precisions
             else jnp.float32
@@ -100,11 +103,14 @@ class FastSim:
         # (zdcsim/ops/pallas_decode.py); "int8_pallas_ab": Pallas only for
         # the measured winners (fused LN-quant + all-phase Conv_0), XLA int8
         # for the rest; "int8_fused": the ENTIRE post-MLP decode as ONE
-        # Pallas kernel (zdcsim/ops/pallas_decode_fused.py) — see
-        # fast_generator_apply docstring.
+        # Pallas kernel (zdcsim/ops/pallas_decode_fused.py);
+        # "int8_fused_front": the LN->Conv_0->GN0->resize front half as one
+        # Pallas kernel, XLA int8 for the conv1..3 tail (the full fused
+        # kernel's tail SIGKILLs the Mosaic compile — see
+        # fused_decode_front docstring) — see fast_generator_apply.
         self._int8_backend = {
             "int8_pallas": "pallas", "int8_pallas_ab": "pallas_ab",
-            "int8_fused": "fused",
+            "int8_fused": "fused", "int8_fused_front": "fused_front",
         }.get(precision, "xla")
 
         # Neutron fast path: fold the eval-mode BatchNorm affines into the

@@ -478,6 +478,7 @@ def fast_generator_apply(
     use_pallas_ab = int8 and int8_backend in ("pallas", "pallas_ab")
     use_pallas_cd = int8 and int8_backend == "pallas"
     use_fused = int8 and int8_backend == "fused"
+    use_fused_front = int8 and int8_backend == "fused_front"
     x = jnp.concatenate([noise, cond], axis=1)
     # MLP stays bf16: its cost is the 92160-wide LayerNorm traffic, not the
     # matmul — int8-ing it measured neutral-to-negative (BENCH_LOG round 2).
@@ -497,7 +498,27 @@ def fast_generator_apply(
         return pdf.fused_decode_from_params(
             p, x, block_rows=pdf.FUSED_BLOCK_ROWS
         )[..., None].astype(noise.dtype)
-    if use_pallas_ab:
+    if use_fused_front:
+        # Front half (LN -> Conv_0 phases -> GN0 -> per-sample quant ->
+        # int8 nearest resize) as ONE Pallas kernel (compile-feasible,
+        # unlike the full fused kernel — see fused_decode_front's
+        # docstring); Conv_1 = XLA's plain 4x4 int8 conv on the kernel's
+        # int8 resized-grid output (the best-measured Conv_1 form,
+        # resize_conv4_int8_naive) with the front's per-sample scale.
+        from zdcsim.ops import pallas_decode_fused as pdf
+
+        q, s = pdf.fused_decode_front_from_params(
+            p, x, block_rows=pdf.FUSED_BLOCK_ROWS
+        )
+        kq, sk = _quant_per_cout(p["Conv_1"]["kernel"])
+        dq = jnp.float32 if DEQUANT_DTYPE is None else DEQUANT_DTYPE
+        y = _conv_i8(q, kq, ((1, 1), (1, 1)))  # [B, 55, 29, 128]
+        x = (
+            y.astype(dq)
+            * (sk[None, None, None, :].astype(dq) * s[:, None, None, None].astype(dq))
+            + p["Conv_1"]["bias"].astype(dq)
+        ).astype(noise.dtype)
+    elif use_pallas_ab:
         from zdcsim.ops.pallas_decode import ln_leaky_rowquant, up2_conv4_int8
 
         xq, sx = ln_leaky_rowquant(
@@ -519,7 +540,9 @@ def fast_generator_apply(
             x = fused_upsample2_conv4_int8(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
         else:
             x = fused_upsample2_conv4(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
-    if use_pallas_cd:
+    if use_fused_front:
+        pass  # GN0 / resize / Conv_1 all happened in the front branch
+    elif use_pallas_cd:
         # GN + leaky + per-sample requant in one pass (kernel C), int8
         # column gather (cheap XLA), then the row-phase conv on the int8
         # MXU with fused dequant + interleave (kernel D).

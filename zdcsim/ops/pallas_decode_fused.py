@@ -201,8 +201,149 @@ def _rowquant(y, tb):
     return q, s
 
 
-def _make_fused_kernel(tb: int, apply_expm1: bool, stop: int | None = None):
+def _front_stages(
+    tb, stop,
+    x_ref, lns_ref, lnb_ref,
+    k0_ref, s0_ref, b0_ref, g0s_ref, g0b_ref,
+    gm1_ref, xpad0,
+):
+    """Stages 1-6 (LN -> conv0 phases -> per-phase GN0+quant -> interleave
+    -> int8 nearest resize), shared by the full kernel and the front
+    kernel. Returns ``(xr, s1a, dbg)``: the int8 resized grid
+    [TB, 56, 30, C1], its per-sample dequant scale [TB], and — when
+    ``stop`` names a stage <= 6 — the tuple of that stage's intermediates
+    for :func:`_dbg_out` (``xr``/``s1a`` are then None)."""
     m0 = tb * H0P * W0P
+
+    # ---- LayerNorm + LeakyReLU + per-sample int8 quant (kernel A) ----
+    # Flattened to 2D [TB, 92160]: axis-(1,2) reductions on the 3D
+    # block SIGABRT Mosaic (fused_bisect3); 2D axis-1 reduces are fine.
+    x = x_ref[:].astype(jnp.float32).reshape(tb, H0 * W0 * C0)
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.mean((x - mu) * (x - mu), axis=1, keepdims=True)
+    z = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+    z = z * lns_ref[:].astype(jnp.float32).reshape(1, -1) \
+        + lnb_ref[:].astype(jnp.float32).reshape(1, -1)
+    z = jnp.where(z >= 0, z, 0.1 * z)
+    mx = jnp.max(jnp.abs(z), axis=1, keepdims=True)
+    sx = jnp.maximum(mx / 127.0, 1e-12)  # [TB, 1]
+    xq = jnp.clip(jnp.round(z / sx), -127, 127).astype(jnp.int8)
+    if stop == 1:
+        return None, None, (xq,)
+
+    # zero-halo padded write: taps below need no validity masks
+    xq4 = jnp.pad(
+        xq.reshape(tb, H0, W0, C0), ((0, 0), (1, 1), (1, 1), (0, 0))
+    )
+    xpad0[:_PAD0, :] = jnp.zeros((_PAD0, C0), jnp.int8)
+    xpad0[_PAD0:_PAD0 + m0, :] = xq4.reshape(m0, C0)
+    xpad0[_PAD0 + m0:, :] = jnp.zeros((_PAD0, C0), jnp.int8)
+
+    # ---- Conv_0: parity-phase taps, maskless contiguous slices ----
+    bias0 = b0_ref[0].astype(jnp.float32)
+    sxc = sx.reshape(tb, 1)
+
+    phase_vals = []
+    tap = 0
+    for name in _PHASES:
+        acc = jnp.zeros((m0, C1), jnp.int32)
+        for (dr, dc) in _PHASE_OFFSETS[name]:
+            sft = dr * W0P + dc
+            acc = acc + jax.lax.dot_general(
+                xpad0[_PAD0 + sft:_PAD0 + sft + m0, :], k0_ref[tap],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            tap += 1
+        p = len(phase_vals)
+        skp = s0_ref[p].astype(jnp.float32)  # [C1]
+        val = acc.astype(jnp.float32) * skp[None, :]
+        val = val.reshape(tb, H0P * W0P, C1) * sxc[:, :, None]
+        val = val + bias0[None, None, :]
+        # one validity multiply per phase: kills halo garbage (incl.
+        # the bias just added there) and the phase's unused tail
+        # row/col, so whole-tensor sums give exact GN0 statistics
+        hu, wu = _PHASE_USED[name]
+        vmask = _valid01(H0P * W0P, W0P, H0P, (1, hu), (1, wu))
+        phase_vals.append(val * vmask[None, :, :])
+
+    if stop == 2:
+        return None, None, tuple(phase_vals)
+    # ---- GN0 + LeakyReLU + per-sample quant, PER PHASE ----
+    # The four parity phases PARTITION the 35x19 grid, so GN0 group
+    # sums accumulate exactly from the (masked) phase values and each
+    # phase is normalized + quantized to int8 BEFORE the interleave:
+    # the full-grid f32 y0 is never materialized and the
+    # interleave/resize shuffles move int8, not f32.
+    gm1 = gm1_ref[:]
+    # Channel-sums per phase (3D axis-1 reduce) then one 2D matmul
+    # against the group matrix — multi-axis einsum reductions on
+    # rank-4 SIGABRT Mosaic (see _gn_leaky).
+    cs = cs2 = 0.0
+    for v in phase_vals:
+        cs = cs + jnp.sum(v, axis=1)
+        cs2 = cs2 + jnp.sum(v * v, axis=1)
+    s1s = cs @ gm1
+    s2s = cs2 @ gm1
+    cnt0 = float(H1 * W1 * (C1 // 32))
+    mu_g = s1s / cnt0
+    var_g = jnp.maximum(s2s / cnt0 - mu_g * mu_g, 0.0)
+    mu_c = jnp.einsum("bg,cg->bc", mu_g, gm1)[:, None, :]
+    inv_c = jnp.einsum(
+        "bg,cg->bc", jax.lax.rsqrt(var_g + 1e-6), gm1
+    )[:, None, :]
+    g0s = g0s_ref[:].astype(jnp.float32).reshape(1, 1, C1)
+    g0b = g0b_ref[:].astype(jnp.float32).reshape(1, 1, C1)
+
+    def _n0(v, name):
+        o = (v - mu_c) * inv_c * g0s + g0b
+        o = jnp.where(o >= 0, o, 0.1 * o)
+        # re-mask: normalization shifted the zeroed positions
+        hu, wu = _PHASE_USED[name]
+        return o * _valid01(H0P * W0P, W0P, H0P, (1, hu), (1, wu))[None]
+
+    norm_vals = [_n0(v, n) for v, n in zip(phase_vals, _PHASES)]
+    # shared per-sample quant scale (garbage positions are zero)
+    m = jnp.zeros((tb,), jnp.float32)
+    for n in norm_vals:
+        m = jnp.maximum(m, jnp.max(jnp.abs(n.reshape(tb, -1)), axis=1))
+    s1a = jnp.maximum(m / 127.0, 1e-12)  # [TB]
+    sb0 = s1a.reshape(tb, 1, 1)
+    qs = [
+        jnp.clip(jnp.round(n / sb0), -127, 127)
+        .astype(jnp.int8).reshape(tb, H0P, W0P, C1)
+        for n in norm_vals
+    ]
+    # interior slices (drop halo + phase-unused tails)
+    n_ee = qs[0][:, 1:1 + H0, 1:1 + W0]
+    n_eo = qs[1][:, 1:1 + H0, 1:W0]
+    n_oe = qs[2][:, 1:H0, 1:1 + W0]
+    n_oo = qs[3][:, 1:H0, 1:W0]
+    if stop == 3:
+        return None, None, (n_ee, n_eo, n_oe, n_oo)
+    rows_even = _interleave_vals(n_ee, n_eo, 2)  # [TB,18,19,C1]
+    rows_odd = _interleave_vals(n_oe, n_oo, 2)  # [TB,17,19,C1]
+    q1 = _interleave_vals(rows_even, rows_odd, 1)  # [TB,35,19,C1] int8
+    if stop == 4:
+        return None, None, (q1,)
+
+    # ---- nearest resize 35x19 -> 56x30 (int8, value level) ----
+    qc = jnp.stack([q1[:, :, int(c), :] for c in _COL_MAP], axis=2)
+    if stop == 5:
+        return None, None, (qc,)
+    # rows: out k::8 <- src _ROW_PAT[k]::5 (7 groups x 8 phases = 56).
+    # Static indexing on a [TB, 7, 5, ...] reshape, NOT qc[:, pat::5]:
+    # jax 0.9 lowers strided basic indexing to iota+gather, which
+    # Mosaic rejects for >2D operands ("Only 2D gather is supported").
+    qg = qc.reshape(tb, H1 // 5, 5, WG, C1)
+    row_phases = jnp.stack(
+        [qg[:, :, _ROW_PAT[k], :, :] for k in range(8)], axis=2
+    )  # [TB, 7, 8, 30, C1]
+    xr = row_phases.reshape(tb, HG, WG, C1)
+    return xr, s1a, None
+
+
+def _make_fused_kernel(tb: int, apply_expm1: bool, stop: int | None = None):
     mg = tb * HGP * WGP
 
     def kernel(
@@ -215,131 +356,12 @@ def _make_fused_kernel(tb: int, apply_expm1: bool, stop: int | None = None):
         out_ref,
         xpad0, xpadg, y1q, y2q,
     ):
-        # ---- LayerNorm + LeakyReLU + per-sample int8 quant (kernel A) ----
-        # Flattened to 2D [TB, 92160]: axis-(1,2) reductions on the 3D
-        # block SIGABRT Mosaic (fused_bisect3); 2D axis-1 reduces are fine.
-        x = x_ref[:].astype(jnp.float32).reshape(tb, H0 * W0 * C0)
-        mu = jnp.mean(x, axis=1, keepdims=True)
-        var = jnp.mean((x - mu) * (x - mu), axis=1, keepdims=True)
-        z = (x - mu) * jax.lax.rsqrt(var + 1e-6)
-        z = z * lns_ref[:].astype(jnp.float32).reshape(1, -1) \
-            + lnb_ref[:].astype(jnp.float32).reshape(1, -1)
-        z = jnp.where(z >= 0, z, 0.1 * z)
-        mx = jnp.max(jnp.abs(z), axis=1, keepdims=True)
-        sx = jnp.maximum(mx / 127.0, 1e-12)  # [TB, 1]
-        xq = jnp.clip(jnp.round(z / sx), -127, 127).astype(jnp.int8)
-        if stop == 1:
-            return _dbg_out(out_ref, tb, HG, WG, xq)
-
-        # zero-halo padded write: taps below need no validity masks
-        xq4 = jnp.pad(
-            xq.reshape(tb, H0, W0, C0), ((0, 0), (1, 1), (1, 1), (0, 0))
+        xr, s1a, dbg = _front_stages(
+            tb, stop, x_ref, lns_ref, lnb_ref,
+            k0_ref, s0_ref, b0_ref, g0s_ref, g0b_ref, gm1_ref, xpad0,
         )
-        xpad0[:_PAD0, :] = jnp.zeros((_PAD0, C0), jnp.int8)
-        xpad0[_PAD0:_PAD0 + m0, :] = xq4.reshape(m0, C0)
-        xpad0[_PAD0 + m0:, :] = jnp.zeros((_PAD0, C0), jnp.int8)
-
-        # ---- Conv_0: parity-phase taps, maskless contiguous slices ----
-        bias0 = b0_ref[0].astype(jnp.float32)
-        sxc = sx.reshape(tb, 1)
-
-        phase_vals = []
-        tap = 0
-        for name in _PHASES:
-            acc = jnp.zeros((m0, C1), jnp.int32)
-            for (dr, dc) in _PHASE_OFFSETS[name]:
-                sft = dr * W0P + dc
-                acc = acc + jax.lax.dot_general(
-                    xpad0[_PAD0 + sft:_PAD0 + sft + m0, :], k0_ref[tap],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                tap += 1
-            p = len(phase_vals)
-            skp = s0_ref[p].astype(jnp.float32)  # [C1]
-            val = acc.astype(jnp.float32) * skp[None, :]
-            val = val.reshape(tb, H0P * W0P, C1) * sxc[:, :, None]
-            val = val + bias0[None, None, :]
-            # one validity multiply per phase: kills halo garbage (incl.
-            # the bias just added there) and the phase's unused tail
-            # row/col, so whole-tensor sums give exact GN0 statistics
-            hu, wu = _PHASE_USED[name]
-            vmask = _valid01(H0P * W0P, W0P, H0P, (1, hu), (1, wu))
-            phase_vals.append(val * vmask[None, :, :])
-
-        if stop == 2:
-            return _dbg_out(out_ref, tb, HG, WG, *phase_vals)
-        # ---- GN0 + LeakyReLU + per-sample quant, PER PHASE ----
-        # The four parity phases PARTITION the 35x19 grid, so GN0 group
-        # sums accumulate exactly from the (masked) phase values and each
-        # phase is normalized + quantized to int8 BEFORE the interleave:
-        # the full-grid f32 y0 is never materialized and the
-        # interleave/resize shuffles move int8, not f32.
-        gm1 = gm1_ref[:]
-        # Channel-sums per phase (3D axis-1 reduce) then one 2D matmul
-        # against the group matrix — multi-axis einsum reductions on
-        # rank-4 SIGABRT Mosaic (see _gn_leaky).
-        cs = cs2 = 0.0
-        for v in phase_vals:
-            cs = cs + jnp.sum(v, axis=1)
-            cs2 = cs2 + jnp.sum(v * v, axis=1)
-        s1s = cs @ gm1
-        s2s = cs2 @ gm1
-        cnt0 = float(H1 * W1 * (C1 // 32))
-        mu_g = s1s / cnt0
-        var_g = jnp.maximum(s2s / cnt0 - mu_g * mu_g, 0.0)
-        mu_c = jnp.einsum("bg,cg->bc", mu_g, gm1)[:, None, :]
-        inv_c = jnp.einsum(
-            "bg,cg->bc", jax.lax.rsqrt(var_g + 1e-6), gm1
-        )[:, None, :]
-        g0s = g0s_ref[:].astype(jnp.float32).reshape(1, 1, C1)
-        g0b = g0b_ref[:].astype(jnp.float32).reshape(1, 1, C1)
-
-        def _n0(v, name):
-            o = (v - mu_c) * inv_c * g0s + g0b
-            o = jnp.where(o >= 0, o, 0.1 * o)
-            # re-mask: normalization shifted the zeroed positions
-            hu, wu = _PHASE_USED[name]
-            return o * _valid01(H0P * W0P, W0P, H0P, (1, hu), (1, wu))[None]
-
-        norm_vals = [_n0(v, n) for v, n in zip(phase_vals, _PHASES)]
-        # shared per-sample quant scale (garbage positions are zero)
-        m = jnp.zeros((tb,), jnp.float32)
-        for n in norm_vals:
-            m = jnp.maximum(m, jnp.max(jnp.abs(n.reshape(tb, -1)), axis=1))
-        s1a = jnp.maximum(m / 127.0, 1e-12)  # [TB]
-        sb0 = s1a.reshape(tb, 1, 1)
-        qs = [
-            jnp.clip(jnp.round(n / sb0), -127, 127)
-            .astype(jnp.int8).reshape(tb, H0P, W0P, C1)
-            for n in norm_vals
-        ]
-        # interior slices (drop halo + phase-unused tails)
-        n_ee = qs[0][:, 1:1 + H0, 1:1 + W0]
-        n_eo = qs[1][:, 1:1 + H0, 1:W0]
-        n_oe = qs[2][:, 1:H0, 1:1 + W0]
-        n_oo = qs[3][:, 1:H0, 1:W0]
-        if stop == 3:
-            return _dbg_out(out_ref, tb, HG, WG, n_ee, n_eo, n_oe, n_oo)
-        rows_even = _interleave_vals(n_ee, n_eo, 2)  # [TB,18,19,C1]
-        rows_odd = _interleave_vals(n_oe, n_oo, 2)  # [TB,17,19,C1]
-        q1 = _interleave_vals(rows_even, rows_odd, 1)  # [TB,35,19,C1] int8
-        if stop == 4:
-            return _dbg_out(out_ref, tb, HG, WG, q1)
-
-        # ---- nearest resize 35x19 -> 56x30 (int8, value level) ----
-        qc = jnp.stack([q1[:, :, int(c), :] for c in _COL_MAP], axis=2)
-        if stop == 5:
-            return _dbg_out(out_ref, tb, HG, WG, qc)
-        # rows: out k::8 <- src _ROW_PAT[k]::5 (7 groups x 8 phases = 56).
-        # Static indexing on a [TB, 7, 5, ...] reshape, NOT qc[:, pat::5]:
-        # jax 0.9 lowers strided basic indexing to iota+gather, which
-        # Mosaic rejects for >2D operands ("Only 2D gather is supported").
-        qg = qc.reshape(tb, H1 // 5, 5, WG, C1)
-        row_phases = jnp.stack(
-            [qg[:, :, _ROW_PAT[k], :, :] for k in range(8)], axis=2
-        )  # [TB, 7, 8, 30, C1]
-        xr = row_phases.reshape(tb, HG, WG, C1)
+        if dbg is not None:
+            return _dbg_out(out_ref, tb, HG, WG, *dbg)
         # zero-halo padded write onto the conv1..3 grid
         xrp = jnp.pad(xr, ((0, 0), (1, 2), (1, 2), (0, 0)))
         xpadg[:_PADG, :] = jnp.zeros((_PADG, C1), jnp.int8)
@@ -527,6 +549,121 @@ def fused_decode(
         _gmat(C1, 32), _gmat(C2, 32), _gmat(C3, 32),
     )
     return out
+
+
+def _make_front_kernel(tb: int):
+    def kernel(
+        x_ref, lns_ref, lnb_ref,
+        k0_ref, s0_ref, b0_ref, g0s_ref, g0b_ref,
+        gm1_ref,
+        q_ref, s_ref,
+        xpad0,
+    ):
+        xr, s1a, _ = _front_stages(
+            tb, None, x_ref, lns_ref, lnb_ref,
+            k0_ref, s0_ref, b0_ref, g0s_ref, g0b_ref, gm1_ref, xpad0,
+        )
+        q_ref[:] = xr
+        s_ref[:] = s1a.reshape(tb, 1)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_rows", "interpret")
+)
+def fused_decode_front(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+    conv0_kernel: jnp.ndarray, conv0_bias: jnp.ndarray,
+    gn0_scale: jnp.ndarray, gn0_bias: jnp.ndarray,
+    block_rows: int = 8,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The FRONT HALF of the fused decode as one Pallas kernel: LayerNorm
+    -> LeakyReLU -> int8 quant -> Conv_0 parity phases -> GroupNorm_0 ->
+    LeakyReLU -> per-sample int8 quant -> interleave -> nearest resize to
+    56x30, all VMEM-resident.
+
+    Split rationale (chip-measured, experiments/fused_bisect4_r3.py): the
+    front compiles in ~46 s, while adding the conv1..conv3 tail SIGKILLs
+    the Mosaic compile helper (the 16+9+4 maskless tap slices on the
+    59x33-padded grid are sublane-misaligned int8 slices, each of which
+    expands into relayout code; conv1 alone pushes the compile to 303 s).
+    The back half is exactly what XLA already runs well: one plain 4x4
+    int8 conv on the materialized resize (35.6% int8-MXU utilization,
+    resize_conv4_int8_naive) — so the split hands XLA the int8 resized
+    grid its best-measured conv wants, and replaces the two stages the
+    profiler blamed for VPU/layout overhead (MLP LayerNorm, conv0+gn0
+    epilogues) with one custom call.
+
+    ``x``: [B, 92160] Dense_1 output (pre-LN). Returns ``(q, s)``: the
+    int8 resized grid [B, 56, 30, 256] and its per-sample dequant scale
+    [B] (finer than the XLA path's per-tensor scale).
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    b = x.shape[0]
+    tb = block_rows
+    while b % tb:
+        tb //= 2
+    tb = max(tb, 1)
+
+    kq0, sk0 = _quant_phases(conv0_kernel)  # [25, 512, 256], [4, 256]
+    m0 = tb * H0P * W0P
+    const = lambda *dims: pl.BlockSpec(dims, lambda i: (0,) * len(dims),  # noqa: E731
+                                       memory_space=pltpu.VMEM)
+    q, s = pl.pallas_call(
+        _make_front_kernel(tb),
+        grid=(b // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, H0 * W0, C0), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const(1, H0 * W0, C0), const(1, H0 * W0, C0),
+            const(25, C0, C1), const(4, C1), const(1, C1),
+            const(1, C1), const(1, C1),
+            const(C1, 32),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, HG, WG, C1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, HG, WG, C1), jnp.int8),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m0 + 2 * _PAD0, C0), jnp.int8),  # xpad0
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(
+        x.reshape(b, H0 * W0, C0),
+        ln_scale.reshape(1, H0 * W0, C0), ln_bias.reshape(1, H0 * W0, C0),
+        kq0, sk0, conv0_bias.reshape(1, C1),
+        gn0_scale.reshape(1, C1), gn0_bias.reshape(1, C1),
+        _gmat(C1, 32),
+    )
+    return q, s.reshape(b)
+
+
+def fused_decode_front_from_params(
+    params, x: jnp.ndarray, **kw
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Front-kernel convenience wrapper over a ``proton.Generator``
+    parameter tree (see :func:`fused_decode_from_params`)."""
+    p = params
+    ln = p["MLPBlock_1"]["LayerNorm_0"]
+    return fused_decode_front(
+        x,
+        ln["scale"], ln["bias"],
+        p["Conv_0"]["kernel"], p["Conv_0"]["bias"],
+        p["GroupNorm2d_0"]["GroupNorm_0"]["scale"],
+        p["GroupNorm2d_0"]["GroupNorm_0"]["bias"],
+        **kw,
+    )
 
 
 def fused_decode_from_params(
