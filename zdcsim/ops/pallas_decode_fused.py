@@ -58,6 +58,17 @@ than the XLA path's per-tensor scales), per-cout weight scales; Conv_3
 runs in f32 (tiny). Exactness vs the f32 path is tolerance-tested in
 tests/test_pallas_fused.py (interpret mode on CPU); physics fidelity is
 gated on-chip in BENCH_LOG.md before production use.
+
+FINAL CHIP VERDICT (BENCH_LOG.md "Round-3 finale"): NOT production.
+v2's full kernel is compile-infeasible (the conv1..3 tail SIGKILLs the
+Mosaic compile helper at tb=4 and tb=8 — experiments/fused_bisect4_r3.py
+bisect: stages 1-6 compile in 46 s, +conv1 303 s); the compile-feasible
+front half (:func:`fused_decode_front`, serving precision
+``int8_fused_front``) measured 33.1 us/sample end-to-end vs the XLA int8
+path's 26.1 — the sublane-misaligned int8 tap slices execute at ~12% of
+int8-MXU peak on this Mosaic version, which outweighs the fusion saving
+the profiler identified. Both kernels stay exactness-tested as the
+measured record and as ready probes for future Mosaic versions.
 """
 
 from __future__ import annotations
@@ -564,7 +575,7 @@ def _make_front_kernel(tb: int):
             k0_ref, s0_ref, b0_ref, g0s_ref, g0b_ref, gm1_ref, xpad0,
         )
         q_ref[:] = xr
-        s_ref[:] = s1a.reshape(tb, 1)
+        s_ref[:] = s1a.reshape(tb, 1, 1)
 
     return kernel
 
@@ -627,12 +638,15 @@ def fused_decode_front(
         out_specs=(
             pl.BlockSpec((tb, HG, WG, C1), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), lambda i: (i, 0),
+            # rank-3 (b,1,1): the TPU lowering requires the block's last
+            # two dims divisible by (8,128) OR equal to the array's — a
+            # (tb,1) block fails at tb<8, (tb,1,1) passes at any tb.
+            pl.BlockSpec((tb, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, HG, WG, C1), jnp.int8),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((m0 + 2 * _PAD0, C0), jnp.int8),  # xpad0
