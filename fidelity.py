@@ -14,8 +14,10 @@ Round-2 measured 1.3-1.4x on a 150-epoch checkpoint (BENCH_LOG.md); the
 criterion is 1.5x.
 
 Runs the PRODUCTION serving path (bulk int8 tiled-switch — what bench.py
-times) on a trained checkpoint. Defaults to the committed r2 150-epoch run's
-best epoch; override: ``python fidelity.py <experiment_dir> <epoch> [raw|ema]``.
+times) on a trained checkpoint. Defaults to the newest on-disk gate run
+(see DEFAULT_RUN_GLOBS; experiments/ does not survive rounds — the header
+comment gives the one-command regeneration recipe); override:
+``python fidelity.py <experiment_dir> <epoch> [raw|ema] [precision]``.
 Serving weights default to the generator EMA shadow (measured better or
 equal to raw in 5/6 round-3 study runs, experiments/fidelity_r3.jsonl).
 Reference metric semantics: expertsim/train/utils.py:117-176.
@@ -27,9 +29,51 @@ import json
 import sys
 
 CRITERION = 1.5  # pass: matched-N ws_mean <= 1.5x the real-vs-real floor
-DEFAULT_RUN = "experiments/r2_proton_bf16_150ep_16_08_2026_23_02_30_094054"
-DEFAULT_EPOCH = 140
+# Trained gate checkpoints live under experiments/ which is gitignored
+# (full Orbax TrainStates are too large to commit) and therefore does NOT
+# survive across build rounds. The default resolves the newest matching
+# run dir; regenerate one with:
+#   python cli.py --override dataset.synthetic=true \
+#     dataset.synthetic_n_samples=25600 train.batch_size=512 \
+#     model.n_experts=3 train.seed=7 train.precision=bf16 \
+#     train.epochs=60 train.ws_threshold_model_save=1000000 \
+#     train.checkpoint_keep_best=3 train.async_checkpointing=true \
+#     config.run_name=fidelity_ckpt_r3
+DEFAULT_RUN_GLOBS = (
+    "experiments/fidelity_ckpt_*",
+    "experiments/r2_proton_bf16_150ep_*",
+)
 N_DRAWS = 3
+
+
+def _resolve_default_run() -> str | None:
+    import glob
+    import os
+
+    for pattern in DEFAULT_RUN_GLOBS:
+        runs = [d for d in glob.glob(pattern) if os.path.isdir(d)]
+        if runs:
+            return max(runs, key=os.path.getmtime)
+    return None
+
+
+def _resolve_latest_epoch(exp_dir: str) -> int | None:
+    """Highest saved epoch. With train.checkpoint_keep_best=k the on-disk
+    epochs are the k lowest-WS ones, so any of them is a near-best model;
+    the latest additionally benefits from the most EMA accumulation."""
+    import glob
+    import os
+    import re
+
+    from zdcsim.utils.io import DIR_MODELS
+
+    models = DIR_MODELS.format(EXPERIMENT_DIR_NAME=exp_dir)
+    epochs = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(models, "state_epoch_*"))
+        if (m := re.search(r"state_epoch_(\d+)$", p))
+    ]
+    return max(epochs) if epochs else None
 
 
 def main() -> int:
@@ -48,8 +92,23 @@ def main() -> int:
     from zdcsim.ops.ws import wasserstein_per_channel
     from zdcsim.utils.io import DIR_MODELS
 
-    exp_dir = sys.argv[1] if len(sys.argv) > 2 else DEFAULT_RUN
-    epoch = int(sys.argv[2]) if len(sys.argv) > 2 else DEFAULT_EPOCH
+    exp_dir = sys.argv[1] if len(sys.argv) > 1 else _resolve_default_run()
+    if exp_dir is None:
+        print(json.dumps({
+            "metric": "fastsim_fidelity", "value": None,
+            "error": "no trained gate checkpoint on disk (experiments/ is "
+                     "gitignored and wiped between rounds) — regenerate with "
+                     "the cli.py command in fidelity.py's header (~20 min on "
+                     "one v5e chip), then re-run",
+        }))
+        return 1
+    epoch = int(sys.argv[2]) if len(sys.argv) > 2 else _resolve_latest_epoch(exp_dir)
+    if epoch is None:
+        print(json.dumps({
+            "metric": "fastsim_fidelity", "value": None,
+            "error": f"no state_epoch_* checkpoints under {exp_dir}",
+        }))
+        return 1
     use_ema = (sys.argv[3] if len(sys.argv) > 3 else "ema") == "ema"
     precision = sys.argv[4] if len(sys.argv) > 4 else "int8"
 
