@@ -75,6 +75,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     import jax
 
+    from zdcsim.utils.platform import enable_compile_cache
+
+    # Remote-TPU compiles over the axon tunnel cost 1-4 min each and don't
+    # survive the process otherwise; bench/fidelity already do this.
+    enable_compile_cache()
+
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
