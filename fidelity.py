@@ -32,13 +32,11 @@ CRITERION = 1.5  # pass: matched-N ws_mean <= 1.5x the real-vs-real floor
 # Trained gate checkpoints live under experiments/ which is gitignored
 # (full Orbax TrainStates are too large to commit) and therefore does NOT
 # survive across build rounds. The default resolves the newest matching
-# run dir; regenerate one with:
-#   python cli.py --override dataset.synthetic=true \
-#     dataset.synthetic_n_samples=25600 train.batch_size=512 \
-#     model.n_experts=3 train.seed=7 train.precision=bf16 \
-#     train.epochs=60 train.ws_threshold_model_save=1000000 \
-#     train.checkpoint_keep_best=3 train.async_checkpointing=true \
-#     config.run_name=fidelity_ckpt_r3
+# run dir; regenerate one (~25 min on one v5e chip) with:
+#   python experiments/train_gate_ckpt_r3.py 60
+# (trains with the in-loop saver disabled — per-epoch Orbax saves cost
+# ~160 s/epoch of D2H over the axon tunnel — and writes ONE final-state
+# checkpoint.)
 DEFAULT_RUN_GLOBS = (
     "experiments/fidelity_ckpt_*",
     "experiments/r2_proton_bf16_150ep_*",
