@@ -449,9 +449,7 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
     # stacks every chunk's activations and OOMs HBM at B=512 (measured
     # 14.5G of HLO temps, perf_train_r3). Opt-out knob for tiny models.
     switch_remat = bool(cfg.train.get("dispatch_remat", True))
-    use_switch = dispatch == "switch" and E > 1 and mesh is None
-    if dispatch == "switch" and mesh is not None:
-        raise ValueError("train.dispatch=switch does not support the mesh path yet")
+    use_switch = dispatch == "switch" and E > 1
     if use_switch and (
         modules.generator_single is None
         or modules.discriminator_single is None
@@ -459,9 +457,52 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
     ):
         raise ValueError("train.dispatch=switch needs single-module handles on MoEModules")
 
-    def train_step_switch(state, batch, key, epoch):
+    def _switch_dispatch(make_fns, cap, idx_, inputs):
+        """Route ``inputs`` through per-expert closures built by
+        ``make_fns(cap)`` (``cap`` carries every traced value the closures
+        need — params/stats/rng keys — explicitly, so it can cross a
+        shard_map boundary).
+
+        Single device: plain :func:`tiled_switch_apply`. Under a mesh the
+        dispatch runs PER-DEVICE inside ``shard_map`` over the data axis —
+        each device sorts/tiles only its own batch shard, weights
+        replicated; the same structure as sharded switch serving
+        (engine.py sim_switch). shard_map's transpose psums the cotangent
+        of the replicated ``cap`` over the data axis, which is exactly the
+        data-parallel gradient reduction. With
+        ``parallel.expert_parallel>1`` the expert-sharded params are
+        all-gathered at the boundary (``lax.switch`` needs every expert on
+        every device) and the dispatch compute replicates along the expert
+        axis — switch dispatch is a data-parallel construct; use
+        ``expert_parallel=1`` with it for efficiency.
+        """
         from zdcsim.inference.switch_dispatch import tiled_switch_apply
 
+        if mesh is None:
+            return tiled_switch_apply(
+                make_fns(cap), idx_, inputs, tile=switch_tile, remat=switch_remat
+            )
+        import math
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from zdcsim.parallel.mesh import DATA_AXIS
+
+        def local(cap_l, idx_l, inputs_l):
+            lb = int(idx_l.shape[0])
+            return tiled_switch_apply(
+                make_fns(cap_l), idx_l, inputs_l,
+                tile=math.gcd(lb, switch_tile), remat=switch_remat,
+            )
+
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+        )(cap, idx_, inputs)
+
+    def train_step_switch(state, batch, key, epoch):
         if len(jax.tree_util.tree_leaves(state.gen.stats)) or len(
             jax.tree_util.tree_leaves(state.aux.stats)
         ):
@@ -503,7 +544,9 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
         aux_single = modules.aux_reg_single
         slice_e = lambda tree, e: jax.tree_util.tree_map(lambda p: p[e], tree)
 
-        def gen_fns(g_params, kg):
+        def make_gen_fns(cap):
+            g_params, kg = cap["p"], cap["k"]
+
             def mk(e):
                 def fn(chunk):
                     rng = jax.random.fold_in(jax.random.fold_in(kg, e), chunk["rid"][0])
@@ -518,13 +561,15 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
 
             return [mk(e) for e in range(E)]
 
-        def disc_fns(d_params):
+        def make_disc_fns(cap):
+            d_params, d_stats = cap["p"], cap["stats"]
+
             def mk(e):
                 def fn(chunk):
                     # SN u is read, not updated (advanced separately below)
                     variables = {
                         "params": _c16(slice_e(d_params, e)),
-                        **{k: slice_e(v, e) for k, v in state.disc.stats.items()},
+                        **{k: slice_e(v, e) for k, v in d_stats.items()},
                     }
                     s, latent = disc_single.apply(
                         variables, _c16(chunk["img"]), _c16(chunk["c"]), False
@@ -535,7 +580,9 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
 
             return [mk(e) for e in range(E)]
 
-        def aux_fns(a_params, ka):
+        def make_aux_fns(cap):
+            a_params, ka = cap["p"], cap["k"]
+
             def mk(e):
                 def fn(chunk):
                     rng = jax.random.fold_in(jax.random.fold_in(ka, e), chunk["rid"][0])
@@ -551,17 +598,16 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
 
         # ------ discriminator update ------
         fake_1 = jax.lax.stop_gradient(
-            tiled_switch_apply(
-                gen_fns(state.gen.params, k_g1), idx,
-                {"z": noise_1, "c": cond, "rid": rid2[:B]}, tile=switch_tile, remat=switch_remat,
+            _switch_dispatch(
+                make_gen_fns, {"p": state.gen.params, "k": k_g1}, idx,
+                {"z": noise_1, "c": cond, "rid": rid2[:B]},
             )
         )  # [B, H, W, 1] routed
 
         def d_loss_fn(d_params):
-            s, _ = tiled_switch_apply(
-                disc_fns(d_params), idx2,
+            s, _ = _switch_dispatch(
+                make_disc_fns, {"p": d_params, "stats": state.disc.stats}, idx2,
                 {"img": jnp.concatenate([real, fake_1]), "c": cond2},
-                tile=switch_tile, remat=switch_remat,
             )
             real_sc, fake_sc = s[:B, 0], s[B:, 0]
             d_loss_e = _hinge_d_r(real_sc, fake_sc, masks)
@@ -580,21 +626,20 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
 
         # ------ generator + aux update vs the updated discriminator ------
         def g_loss_fn(g_params, a_params):
-            fakes = tiled_switch_apply(
-                gen_fns(g_params, k_g2), idx2,
-                {"z": noise12, "c": cond2, "rid": rid2}, tile=switch_tile, remat=switch_remat,
+            fakes = _switch_dispatch(
+                make_gen_fns, {"p": g_params, "k": k_g2}, idx2,
+                {"z": noise12, "c": cond2, "rid": rid2},
             )
             fake1, fake2 = fakes[:B], fakes[B:]
-            s, latents = tiled_switch_apply(
-                disc_fns(disc_new.params), idx2,
+            s, latents = _switch_dispatch(
+                make_disc_fns, {"p": disc_new.params, "stats": state.disc.stats}, idx2,
                 {"img": jnp.concatenate([fake1, fake2]), "c": cond2},
-                tile=switch_tile, remat=switch_remat,
             )
             s1, l1 = s[:B, 0], latents[:B]
             s2, l2 = s[B:, 0], latents[B:]
-            aux_pred = tiled_switch_apply(
-                aux_fns(a_params, k_aux), idx,
-                {"img": fake1, "rid": rid2[:B]}, tile=switch_tile, remat=switch_remat,
+            aux_pred = _switch_dispatch(
+                make_aux_fns, {"p": a_params, "k": k_aux}, idx,
+                {"img": fake1, "rid": rid2[:B]},
             )
 
             hinge_e = _hinge_g_r(s1, masks)
@@ -708,11 +753,10 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
         }
         return new_state, jax.lax.stop_gradient(metrics)
 
-    if use_switch:
-        return jax.jit(train_step_switch, donate_argnums=(0,))
+    step_fn = train_step_switch if use_switch else train_step
 
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0,))
+        return jax.jit(step_fn, donate_argnums=(0,))
 
     from zdcsim.parallel.mesh import batch_sharding, replicated, state_shardings
 
@@ -725,7 +769,7 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
     # may choose a different layout for updated leaves and the next call's
     # in_shardings reject the fed-back state.
     return jax.jit(
-        train_step,
+        step_fn,
         in_shardings=(ss, bs, rep, rep),
         out_shardings=(ss, None),
         donate_argnums=(0,),
