@@ -15,11 +15,15 @@ criterion is 1.5x.
 
 Runs the PRODUCTION serving path (bulk int8 tiled-switch — what bench.py
 times) on a trained checkpoint. Defaults to the newest on-disk gate run
-(see DEFAULT_RUN_GLOBS; experiments/ does not survive rounds — the header
-comment gives the one-command regeneration recipe); override:
-``python fidelity.py <experiment_dir> <epoch> [raw|ema] [precision]``.
-Serving weights default to the generator EMA shadow (measured better or
-equal to raw in 5/6 round-3 study runs, experiments/fidelity_r3.jsonl).
+(see DEFAULT_RUN_GLOBS); when no run dir exists (experiments/ is gitignored
+and wiped between rounds) it falls back to the COMMITTED serving-weight
+artifact (ARTIFACT_PATH — float16 EMA generator + router, written by
+``python experiments/make_gate_artifact_r4.py <run_dir> <epoch>``), so a
+fresh clone reproduces the gate number with zero retraining. Override:
+``python fidelity.py <experiment_dir|artifact> <epoch> [raw|ema]
+[precision]``. Serving weights default to the generator EMA shadow
+(measured better or equal to raw in 5/6 round-3 study runs,
+experiments/fidelity_r3.jsonl).
 Reference metric semantics: expertsim/train/utils.py:117-176.
 """
 
@@ -29,18 +33,23 @@ import json
 import sys
 
 CRITERION = 1.5  # pass: matched-N ws_mean <= 1.5x the real-vs-real floor
-# Trained gate checkpoints live under experiments/ which is gitignored
-# (full Orbax TrainStates are too large to commit) and therefore does NOT
-# survive across build rounds. The default resolves the newest matching
-# run dir; regenerate one (~25 min on one v5e chip) with:
-#   python experiments/train_gate_ckpt_r3.py 60
-# (trains with the in-loop saver disabled — per-epoch Orbax saves cost
-# ~160 s/epoch of D2H over the axon tunnel — and writes ONE final-state
+# The criterion was calibrated on 150-epoch checkpoints (BENCH_LOG r2/r4);
+# shorter runs measure the training curve, not the serving path — the gate
+# emits a warning field when the resolved weights trained fewer epochs.
+CALIBRATION_EPOCHS = 150
+# Trained gate checkpoints live under experiments/ (gitignored — full Orbax
+# TrainStates are too large to commit). The committed artifact below is the
+# durable fallback; to regenerate a full checkpoint (~1 h for 150 epochs on
+# one v5e chip):
+#   python experiments/train_gate_ckpt_r4.py   (resume; or train_gate_ckpt_r3.py 150 from scratch)
+# (both train with the in-loop saver disabled — per-epoch Orbax saves cost
+# ~160 s/epoch of D2H over the axon tunnel — and write ONE final-state
 # checkpoint.)
 DEFAULT_RUN_GLOBS = (
     "experiments/fidelity_ckpt_*",
     "experiments/r2_proton_bf16_150ep_*",
 )
+ARTIFACT_PATH = "artifacts/gate/gate_serving_weights.npz"
 N_DRAWS = 3
 
 
@@ -90,33 +99,52 @@ def main() -> int:
     from zdcsim.ops.ws import wasserstein_per_channel
     from zdcsim.utils.io import DIR_MODELS
 
-    exp_dir = sys.argv[1] if len(sys.argv) > 1 else _resolve_default_run()
-    if exp_dir is None:
-        print(json.dumps({
-            "metric": "fastsim_fidelity", "value": None,
-            "error": "no trained gate checkpoint on disk (experiments/ is "
-                     "gitignored and wiped between rounds) — regenerate with "
-                     "the cli.py command in fidelity.py's header (~20 min on "
-                     "one v5e chip), then re-run",
-        }))
-        return 1
-    epoch = int(sys.argv[2]) if len(sys.argv) > 2 else _resolve_latest_epoch(exp_dir)
-    if epoch is None:
-        print(json.dumps({
-            "metric": "fastsim_fidelity", "value": None,
-            "error": f"no state_epoch_* checkpoints under {exp_dir}",
-        }))
-        return 1
-    use_ema = (sys.argv[3] if len(sys.argv) > 3 else "ema") == "ema"
-    precision = sys.argv[4] if len(sys.argv) > 4 else "int8"
+    import os
 
-    # The checkpoint's training data recipe (synthetic GEANT4-like set; the
-    # split indices reload from the run dir so test membership matches).
+    arg1 = sys.argv[1] if len(sys.argv) > 1 else None
+    exp_dir = None if arg1 == "artifact" else (arg1 or _resolve_default_run())
+    use_artifact = exp_dir is None and os.path.exists(ARTIFACT_PATH)
+    if exp_dir is None and not use_artifact:
+        print(json.dumps({
+            "metric": "fastsim_fidelity", "value": None,
+            "error": "no trained gate checkpoint on disk and no committed "
+                     f"artifact at {ARTIFACT_PATH} — regenerate a checkpoint "
+                     "with the train_gate_ckpt_r4.py command in this file's "
+                     "header (~1 h for 150 epochs on one v5e chip), then "
+                     "re-run",
+        }))
+        return 1
+    meta = {}
+    if use_artifact:
+        from zdcsim.utils.artifact import load_serving_artifact
+
+        gp_art, gs_art, rp_art, meta = load_serving_artifact(ARTIFACT_PATH)
+        epoch = int(meta.get("epoch", -1))
+        use_ema = meta.get("weights", "ema") == "ema"
+        precision = sys.argv[4] if len(sys.argv) > 4 else "int8"
+    else:
+        epoch = int(sys.argv[2]) if len(sys.argv) > 2 else _resolve_latest_epoch(exp_dir)
+        if epoch is None:
+            print(json.dumps({
+                "metric": "fastsim_fidelity", "value": None,
+                "error": f"no state_epoch_* checkpoints under {exp_dir}",
+            }))
+            return 1
+        use_ema = (sys.argv[3] if len(sys.argv) > 3 else "ema") == "ema"
+        precision = sys.argv[4] if len(sys.argv) > 4 else "int8"
+
+    # The checkpoint's training data recipe (synthetic GEANT4-like set). With
+    # a run dir the split indices reload from it; the artifact path recomputes
+    # them — the whole prep stream is deterministic in train.seed, so test
+    # membership is identical either way (verified at artifact creation).
+    resume_overrides = [] if use_artifact else [
+        f"train.checkpoint_experiment_dir={exp_dir}",
+        f"train.epoch_to_load={epoch}",
+    ]
     cfg = load_config(overrides=[
         "dataset.synthetic=true", "dataset.synthetic_n_samples=25600",
         "train.batch_size=512", "model.n_experts=3", "train.seed=7",
-        f"train.checkpoint_experiment_dir={exp_dir}",
-        f"train.epoch_to_load={epoch}",
+        *resume_overrides,
     ])
     split = get_train_test_data(cfg)
     _, test_loader = make_loaders(cfg, split)
@@ -133,10 +161,18 @@ def main() -> int:
     ))
     scale = float(jnp.mean(ch_real))
 
-    engine = FastSim.from_checkpoint(
-        cfg, DIR_MODELS.format(EXPERIMENT_DIR_NAME=exp_dir), epoch,
-        use_ema=use_ema, batch_size=2048, precision=precision,
-    )
+    if use_artifact:
+        from zdcsim.models import build_moe
+
+        engine = FastSim(
+            build_moe(cfg), gp_art, gs_art, rp_art,
+            batch_size=2048, precision=precision,
+        )
+    else:
+        engine = FastSim.from_checkpoint(
+            cfg, DIR_MODELS.format(EXPERIMENT_DIR_NAME=exp_dir), epoch,
+            use_ema=use_ema, batch_size=2048, precision=precision,
+        )
     ws_full, ws_half = [], []
     for d in range(N_DRAWS):
         showers = engine.simulate_bulk(cond, jax.random.PRNGKey(100 + d))
@@ -149,7 +185,7 @@ def main() -> int:
     ws_full = float(np.mean(ws_full))
     ws_half_m = float(np.mean(ws_half))
     ratio = ws_half_m / max(floor, 1e-9)
-    print(json.dumps({
+    result = {
         "metric": "fastsim_fidelity",
         "value": round(ratio, 3),
         "unit": "x_floor",
@@ -158,11 +194,21 @@ def main() -> int:
         "ws_mean_rel": round(ws_full / max(scale, 1e-9), 4),
         "ws_real_floor": round(floor, 1),
         "criterion_x_floor": CRITERION,
-        "checkpoint": f"{exp_dir}@{epoch}",
+        "checkpoint": (
+            f"{ARTIFACT_PATH} (from {meta.get('source', '?')})"
+            if use_artifact else f"{exp_dir}@{epoch}"
+        ),
         "weights": "ema" if use_ema else "raw",
         "precision": precision,
         "n_test": n,
-    }))
+    }
+    if 0 <= epoch + 1 < CALIBRATION_EPOCHS:
+        result["warning"] = (
+            f"weights trained {epoch + 1} epochs; the {CRITERION}x criterion "
+            f"was calibrated at {CALIBRATION_EPOCHS} — a FAIL here may be a "
+            "training-length artifact, not a serving-path regression"
+        )
+    print(json.dumps(result))
     return 0
 
 
