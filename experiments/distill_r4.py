@@ -1,0 +1,192 @@
+"""Round-4 serving-time distillation (VERDICT r3 #3, mechanism (b)).
+
+Distills the trained 150-epoch gate teacher (EMA weights) into a
+width-scaled student (zdcsim.models.proton.Generator(width=w)), then
+measures BOTH on the production int8 bulk serving path:
+
+  1. fidelity: matched-half 5-channel W1 vs the real-vs-real floor —
+     the same criterion fidelity.py gates on (<= 1.5x floor);
+  2. throughput: bulk int8 tiled-switch showers/s (bench.py's path).
+
+A width passes only if its fidelity stays within the gate; the fastest
+passing width becomes the serving recommendation and its weights are
+written to artifacts/gate/student_w{w}_serving_weights.npz (committed).
+
+Usage: python experiments/distill_r4.py [width ...] [--steps N]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+CRITERION = 1.5
+N_DRAWS = 3
+
+
+def main():
+    import logging
+
+    logging.basicConfig(level=logging.INFO)
+    from zdcsim.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zdcsim.config import load_config
+    from zdcsim.data import get_train_test_data, make_loaders
+    from zdcsim.inference import FastSim
+    from zdcsim.inference.distill import distill_generator
+    from zdcsim.models import build_moe
+    from zdcsim.models.proton_fast import fast_generator_apply
+    from zdcsim.ops.channels import sum_channels
+    from zdcsim.ops.ws import wasserstein_per_channel
+    from zdcsim.train.checkpoint import restore_checkpoint
+    from zdcsim.train.state import init_state_jit
+    from zdcsim.utils.artifact import save_serving_artifact
+    from zdcsim.utils.io import DIR_MODELS
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    widths = [float(a) for a in args] or [0.5]
+    steps = 3000
+    for a in sys.argv[1:]:
+        if a.startswith("--steps"):
+            steps = int(a.split("=")[1])
+
+    runs = [d for d in glob.glob("experiments/fidelity_ckpt_*") if os.path.isdir(d)]
+    run_dir = max(runs, key=os.path.getmtime)
+    import re
+
+    models_dir = DIR_MODELS.format(EXPERIMENT_DIR_NAME=run_dir)
+    epoch = max(
+        int(m.group(1))
+        for p in glob.glob(os.path.join(models_dir, "state_epoch_*"))
+        if (m := re.search(r"state_epoch_(\d+)$", p))
+    )
+    print(f"teacher: {run_dir}@{epoch}", flush=True)
+
+    base_overrides = [
+        "dataset.synthetic=true", "dataset.synthetic_n_samples=25600",
+        "train.batch_size=512", "model.n_experts=3", "train.seed=7",
+        f"train.checkpoint_experiment_dir={run_dir}",
+        f"train.epoch_to_load={epoch}",
+    ]
+    cfg = load_config(overrides=base_overrides)
+    modules = build_moe(cfg)
+    template = init_state_jit(modules, cfg, jax.random.PRNGKey(0))
+    state = restore_checkpoint(models_dir, epoch, template)
+    teacher_params = state.ema_gen_params
+    router_params = state.router.params
+
+    split = get_train_test_data(cfg)
+    _, test_loader = make_loaders(cfg, split)
+    cond_test = test_loader.arrays["cond"]
+    real = test_loader.arrays["real"]
+    ch_real = sum_channels(jnp.expm1(real[..., 0] if real.ndim == 4 else real))
+    n = int(cond_test.shape[0])
+    perm = np.random.default_rng(0).permutation(n)
+    half = n // 2
+    ch_perm = ch_real[perm]
+    floor = float(jnp.mean(
+        wasserstein_per_channel(ch_perm[:half], ch_perm[half: 2 * half])
+    ))
+    print(f"real-vs-real floor: {floor:.1f} (n_test={n})", flush=True)
+
+    def measure_fidelity(engine):
+        ws_half = []
+        for d in range(N_DRAWS):
+            showers = engine.simulate_bulk(cond_test, jax.random.PRNGKey(100 + d))
+            ch_gen = sum_channels(jnp.asarray(showers))
+            ws_half.append(float(jnp.mean(wasserstein_per_channel(
+                ch_perm[:half], ch_gen[perm][half: 2 * half]
+            ))))
+        return float(np.mean(ws_half)) / floor
+
+    def measure_throughput(engine, tile=64):
+        engine._build_switch(tile=tile)
+        return engine.throughput_bulk(n_showers=131072)["showers_per_sec"]
+
+    # Teacher reference on the production path.
+    eng_t = FastSim(modules, teacher_params, state.gen.stats, router_params,
+                    batch_size=2048, precision="int8")
+    fid_t = measure_fidelity(eng_t)
+    print(f"teacher fidelity: {fid_t:.3f}x floor", flush=True)
+
+    # Teacher apply for distillation: the bf16 serving forward (exact to the
+    # bf16 engine path; per-expert via vmap over the stacked tree).
+    tp16 = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), teacher_params)
+
+    def teacher_apply(noise, cond):
+        out = jax.vmap(fast_generator_apply, in_axes=(0, None, None))(
+            tp16, noise.astype(jnp.bfloat16), cond.astype(jnp.bfloat16)
+        )
+        return out.astype(jnp.float32)
+
+    def router_apply(cond):
+        _, logits = modules.router.apply({"params": router_params}, cond)
+        return jnp.argmax(logits, axis=-1)
+
+    cond_pool = jnp.asarray(split.y_train, jnp.float32)
+    results = []
+    for w in widths:
+        cfg_w = load_config(overrides=[
+            *base_overrides, f"model.generator.width={w}",
+        ])
+        modules_w = build_moe(cfg_w)
+        z0 = jnp.zeros((2, modules.noise_dim))
+        c0 = jnp.zeros((2, modules.cond_dim))
+        s_params = modules_w.generator.init(
+            {"params": jax.random.PRNGKey(11)}, z0, c0, False
+        )["params"]
+        t0 = time.time()
+        s_params, metrics = distill_generator(
+            modules_w.generator, s_params, teacher_apply, router_apply,
+            cond_pool, jax.random.PRNGKey(21), modules.noise_dim,
+            steps=steps, batch_size=512, lr=2e-3, inner_steps=25,
+            logger=lambda m: print(m, flush=True),
+        )
+        print(f"width={w}: distilled {steps} steps in {time.time()-t0:.0f}s "
+              f"final={metrics}", flush=True)
+
+        eng_s = FastSim(modules_w, s_params, {}, router_params,
+                        batch_size=2048, precision="int8")
+        fid_s = measure_fidelity(eng_s)
+        eng_s_bulk = FastSim(modules_w, s_params, {}, router_params,
+                             batch_size=32768, precision="int8")
+        tps = {t: measure_throughput(eng_s_bulk, tile=t) for t in (64, 128)}
+        row = {
+            "width": w, "fidelity_x_floor": round(fid_s, 3),
+            "teacher_x_floor": round(fid_t, 3),
+            "pass": fid_s <= CRITERION,
+            "throughput": {str(t): round(v) for t, v in tps.items()},
+            "distill_metrics": metrics, "steps": steps,
+        }
+        print(json.dumps(row), flush=True)
+        results.append(row)
+        if fid_s <= CRITERION:
+            out = f"artifacts/gate/student_w{w}_serving_weights.npz"
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            save_serving_artifact(
+                out, s_params, {}, router_params,
+                meta={"epoch": epoch, "weights": "distilled-student",
+                      "width": w, "source": f"{run_dir}@{epoch}",
+                      "fidelity_x_floor": round(fid_s, 3),
+                      "steps": steps},
+            )
+            print(f"wrote {out}", flush=True)
+
+    with open("experiments/distill_r4.jsonl", "a") as f:
+        for row in results:
+            f.write(json.dumps(row) + "\n")
+    print("ALL DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,30 +33,38 @@ class Generator(nn.Module):
     -> up x2 -> Conv4x4 256 (GN32) -> resize to 56x30 -> Conv4x4 128 (GN32)
     -> Conv3x3 64 (GN32) -> Conv2x2 1 (pad 1) -> ReLU. Output is log-space
     pixel intensities.
+
+    ``width`` scales every channel count (rounded down to a multiple of 32,
+    min 32, so GroupNorm keeps 32 groups and MXU lanes stay full). width=1
+    is the reference architecture bit-for-bit; width<1 builds the distilled
+    serving student (zdcsim/inference/distill.py) with the SAME param-tree
+    layout, so the whole fast/int8 serving stack applies unchanged.
     """
 
     noise_dim: int = 10
     cond_dim: int = 9
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, noise: jnp.ndarray, cond: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        w = lambda c: max(32, int(c * self.width) // 32 * 32)
         x = jnp.concatenate([noise, cond], axis=1)
         x = MLPBlock(256)(x)
-        x = MLPBlock(512 * 18 * 10)(x)
-        x = x.reshape(-1, 18, 10, 512)
+        x = MLPBlock(w(512) * 18 * 10)(x)
+        x = x.reshape(-1, 18, 10, w(512))
 
         x = upsample_nearest(x)  # 36x20
-        x = nn.Conv(256, (4, 4), padding=((1, 1), (1, 1)))(x)  # 35x19
-        x = GroupNorm2d(256)(x)
+        x = nn.Conv(w(256), (4, 4), padding=((1, 1), (1, 1)))(x)  # 35x19
+        x = GroupNorm2d(w(256))(x)
         x = leaky_relu(x)
 
         x = resize_nearest(x, (56, 30))
-        x = nn.Conv(128, (4, 4), padding=((1, 1), (1, 1)))(x)  # 55x29
-        x = GroupNorm2d(128)(x)
+        x = nn.Conv(w(128), (4, 4), padding=((1, 1), (1, 1)))(x)  # 55x29
+        x = GroupNorm2d(w(128))(x)
         x = leaky_relu(x)
 
-        x = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)))(x)  # 55x29
-        x = GroupNorm2d(64)(x)
+        x = nn.Conv(w(64), (3, 3), padding=((1, 1), (1, 1)))(x)  # 55x29
+        x = GroupNorm2d(w(64))(x)
         x = leaky_relu(x)
 
         x = nn.Conv(1, (2, 2), padding=((1, 1), (1, 1)))(x)  # 56x30

@@ -531,7 +531,9 @@ def fast_generator_apply(
     else:
         x = _layer_norm(x, bp1["LayerNorm_0"])
         x = _leaky(x)
-        x = x.reshape(-1, 18, 10, 512)
+        # base channel count from the tree (512 at width=1; scaled students
+        # share the same layout — see Generator.width)
+        x = x.reshape(-1, 18, 10, bp1["Dense_0"]["kernel"].shape[1] // (18 * 10))
 
         # upsample x2 + Conv_0 4x4 pad1 -> fused parity convs (35x19x256)
         if int8 and INT8_CONV0_IMPL == "naive":
@@ -558,7 +560,7 @@ def fast_generator_apply(
             56, out_dtype=noise.dtype,
         )[:, :, :29]
     else:
-        x = _group_norm(x, p["GroupNorm2d_0"]["GroupNorm_0"], 256)
+        x = _group_norm(x, p["GroupNorm2d_0"]["GroupNorm_0"], x.shape[-1])
         x = _leaky(x)
 
         # resize to 56x30 + Conv_1 4x4 pad1 (55x29x128): int8 default is the
@@ -570,7 +572,7 @@ def fast_generator_apply(
             x = fused_row_resize_conv4_int8(x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30)
         else:
             x = fused_row_resize_conv4(x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30)
-    x = _group_norm(x, p["GroupNorm2d_1"]["GroupNorm_0"], 128)
+    x = _group_norm(x, p["GroupNorm2d_1"]["GroupNorm_0"], x.shape[-1])
     x = _leaky(x)
 
     if int8 and INT8_CONV2:
@@ -578,7 +580,7 @@ def fast_generator_apply(
     else:
         x = _conv(x, p["Conv_2"]["kernel"], ((1, 1), (1, 1)))
         x = x + p["Conv_2"]["bias"]
-    x = _group_norm(x, p["GroupNorm2d_2"]["GroupNorm_0"], 64)
+    x = _group_norm(x, p["GroupNorm2d_2"]["GroupNorm_0"], x.shape[-1])
     x = _leaky(x)
 
     x = _conv(x, p["Conv_3"]["kernel"], ((1, 1), (1, 1)))
