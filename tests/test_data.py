@@ -196,6 +196,40 @@ def test_make_loaders_shapes():
     assert batch["positions"].shape == (b, 2)
 
 
+def test_stratified_batches_config_wiring():
+    """train.stratified_batches=true routes expert labels into the train
+    loader end to end (VERDICT r3 #8): every batch approximates the global
+    expert-label mix instead of a plain permutation's binomial scatter."""
+    cfg = synth_cfg(**{"train.stratified_batches": "true"})
+    split = get_train_test_data(cfg)
+    train_loader, _ = make_loaders(cfg, split)
+    assert train_loader.stratify_labels is not None
+    np.testing.assert_array_equal(
+        train_loader.stratify_labels, np.asarray(split.expert_number_train)
+    )
+    labels = np.asarray(split.expert_number_train).ravel()
+    classes, global_counts = np.unique(labels, return_counts=True)
+    bs = train_loader.batch_size
+    order_dev = []  # recover each batch's label mix via the loaded std column
+    std_train = np.asarray(split.std_train).ravel()
+    for batch in train_loader.epoch(0):
+        got_std = np.asarray(batch["std"]).ravel()
+        # map rows back to indices via unique std values (synthetic set:
+        # continuous draws, unique with probability 1)
+        idx = np.searchsorted(np.sort(std_train), got_std)
+        rows = np.argsort(std_train)[idx]
+        order_dev.append(rows)
+    for rows in order_dev:
+        counts = np.bincount(labels[rows], minlength=classes.max() + 1)
+        expected = global_counts * (bs / labels.size)
+        assert np.all(np.abs(counts[classes] - expected) <= np.maximum(3, 0.5 * expected))
+    # default (off) keeps the plain permutation path
+    cfg_off = synth_cfg()
+    split_off = get_train_test_data(cfg_off)
+    loader_off, _ = make_loaders(cfg_off, split_off)
+    assert loader_off.stratify_labels is None
+
+
 # ---------------------------------------------------------------------------
 # native kernels (numpy parity; skip silently falls back if no toolchain)
 # ---------------------------------------------------------------------------

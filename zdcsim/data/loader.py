@@ -126,11 +126,23 @@ def split_to_arrays(split, train: bool) -> Dict[str, np.ndarray]:
 
 
 def make_loaders(cfg, split, sharding=None) -> Tuple[DeviceLoader, DeviceLoader]:
-    """Build train/test device loaders from a SplitArrays."""
+    """Build train/test device loaders from a SplitArrays.
+
+    ``train.stratified_batches: true`` orders each training epoch so every
+    batch approximates the global expert-label mix (stratified_batch_order)
+    — the working realization of the reference's dead-code
+    StratifiedBatchSampler (expertsim/train/training_utils.py:270-288,
+    constructed but never passed to a DataLoader there).
+    """
     bs = int(cfg.train.batch_size)
     seed = int(cfg.train.seed)
+    stratify = (
+        split.expert_number_train
+        if bool(cfg.train.get("stratified_batches", False)) else None
+    )
     train_loader = DeviceLoader(
-        split_to_arrays(split, True), bs, shuffle=True, seed=seed, sharding=sharding
+        split_to_arrays(split, True), bs, shuffle=True, seed=seed, sharding=sharding,
+        stratify_labels=stratify,
     )
     test_bs = min(bs, split.x_test.shape[0])
     test_loader = DeviceLoader(
