@@ -31,8 +31,15 @@ from zdcsim.models import MoEModules, build_moe
 
 
 def _cast_tree(tree, dtype):
+    """Cast float leaves to ``dtype`` AND force device residency: committed
+    serving artifacts arrive as host numpy, and host-resident weights re-ship
+    over the link on every dispatch (measured 2x bulk slowdown through the
+    axon tunnel — probe2, round 4). ``jnp.asarray`` is a no-op for arrays
+    already on device."""
     return jax.tree_util.tree_map(
-        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
+        lambda x: jnp.asarray(x, dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else jnp.asarray(x),
+        tree,
     )
 
 
@@ -138,6 +145,9 @@ class FastSim:
 
         gen_params = _cast_tree(gen_params, dtype)
         gen_stats = _cast_tree(gen_stats, dtype)
+        # Router stays f32 (routing logits are cheap and precision-sensitive)
+        # but must be device-resident like everything else.
+        router_params = jax.tree_util.tree_map(jnp.asarray, router_params)
         if mesh is not None:
             # Serving replicates weights (these generators are KBs-MBs; the
             # batch is what shards). A state fresh from the expert-sharded
