@@ -6,7 +6,9 @@ run into 3+ hours — so train with the saver disabled
 (ws_threshold_model_save=0 never fires) and save the final state once.
 fidelity.py resolves the produced dir via its fidelity_ckpt_* glob.
 
-Usage: python experiments/train_gate_ckpt_r3.py [epochs]
+Usage: python experiments/train_gate_ckpt_r3.py [epochs] [run_name]
+(run_name defaults to fidelity_ckpt_r3 — the prefix fidelity.py globs;
+pass e.g. ref_default_250 for the reference-default-scale evidence run.)
 """
 
 from __future__ import annotations
@@ -34,13 +36,14 @@ def main():
     from zdcsim.utils.io import DIR_MODELS, append_experiment_dir_to_cfg
 
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    run_name = sys.argv[2] if len(sys.argv) > 2 else "fidelity_ckpt_r3"
     cfg = load_config(overrides=[
         "dataset.synthetic=true", "dataset.synthetic_n_samples=25600",
         "train.batch_size=512", "model.n_experts=3", "train.seed=7",
         "train.precision=bf16", f"train.epochs={epochs}",
         "train.ws_threshold_model_save=0",  # never save in-loop (slow D2H)
         "train.save_experiment_data=true",  # dir + scalers + split indices
-        "config.run_name=fidelity_ckpt_r3",
+        f"config.run_name={run_name}",
     ])
     # Stamp the timestamped experiments/ dir BEFORE prep: get_train_test_data
     # otherwise falls back to a bare run_name dir at the repo root for the

@@ -303,3 +303,32 @@ def test_masked_batchnorm_zeroes_unrouted_rows():
     y, _ = layer.apply(variables, x, mask, True, mutable=["batch_stats"])
     np.testing.assert_array_equal(np.asarray(y)[1::2], 0.0)
     assert np.abs(np.asarray(y)[::2]).max() > 0.0
+
+
+def test_resize_nearest_matmul_exact():
+    """The one-hot-matmul resize must be BIT-identical to jax.image.resize
+    nearest for float dtypes (each output element is 1.0 * x[src] summed
+    with true zeros — exact in any float dtype), across upscale, downscale,
+    and the production 35x19 -> 56x30 shape, and must differentiate without
+    gather/scatter (grad check: sum-of-output grads count source fan-out)."""
+    from zdcsim.models.layers import resize_nearest
+
+    for dtype in (jnp.float32, jnp.bfloat16):
+        for (h, w), (H, W) in [
+            ((35, 19), (56, 30)),  # proton generator production shape
+            ((18, 10), (36, 20)),  # integer-factor path (broadcast)
+            ((20, 20), (13, 17)),  # downscale
+            ((7, 5), (11, 4)),     # mixed up/down
+        ]:
+            x = jax.random.normal(jax.random.PRNGKey(0), (3, h, w, 2)).astype(dtype)
+            got = resize_nearest(x, (H, W))
+            ref = jax.image.resize(x, (3, H, W, 2), method="nearest")
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # gradient: d(sum(out))/dx[i,j] == number of output pixels mapping to it
+    x32 = jax.random.normal(jax.random.PRNGKey(1), (1, 35, 19, 1))
+    g_got = jax.grad(lambda t: resize_nearest(t, (56, 30)).sum())(x32)
+    g_ref = jax.grad(
+        lambda t: jax.image.resize(t, (1, 56, 30, 1), method="nearest").sum()
+    )(x32)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref))

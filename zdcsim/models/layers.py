@@ -30,10 +30,44 @@ def upsample_nearest(x: jnp.ndarray, scale: Tuple[int, int] = (2, 2)) -> jnp.nda
     return x.reshape(b, h * sh, w * sw, c)
 
 
+def _nearest_matrix(n_out: int, n_in: int) -> "np.ndarray":
+    """[n_out, n_in] 0/1 selection matrix of the nearest-neighbour index map
+    ``floor((i + 0.5) * n_in / n_out)`` — the same convention as
+    ``jax.image.resize(method='nearest')`` and the int8 serving gather
+    (proton_fast.resize_conv4_int8_naive)."""
+    import numpy as np
+
+    idx = np.floor((np.arange(n_out) + 0.5) * n_in / n_out).astype(int)
+    return (idx[:, None] == np.arange(n_in)[None, :]).astype(np.float32)
+
+
 def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
-    """Nearest-neighbour resize of an NHWC tensor to an exact (H, W)."""
+    """Nearest-neighbour resize of an NHWC tensor to an exact (H, W).
+
+    Float inputs go through two one-hot MATMULS instead of
+    ``jax.image.resize``: a gather-style resize lowers its backward (and at
+    some shapes the forward) into per-column XLA while loops — the round-4
+    dense-train-step profile measured the 35x19->56x30 resize family at
+    ~10% of the whole step (BENCH_LOG "Round-4 train-step budget"). One-hot
+    matmuls run forward AND backward on the MXU as plain GEMMs, and are
+    bit-exact: every output element is ``1.0 * x[src]`` plus true zeros,
+    exact in any float dtype (verified vs jax.image.resize in
+    tests/test_models.py::test_resize_nearest_matmul_exact).
+    Integer dtypes (the int8 serving path materializes its own gather) and
+    pure-downscale shapes keep ``jax.image.resize``.
+    """
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, size[0], size[1], c), method="nearest")
+    H, W = size
+    if (H, W) == (h, w):
+        return x
+    if H % h == 0 and W % w == 0:
+        return upsample_nearest(x, (H // h, W // w))
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        return jax.image.resize(x, (b, H, W, c), method="nearest")
+    rows = jnp.asarray(_nearest_matrix(H, h), x.dtype)  # [H, h]
+    cols = jnp.asarray(_nearest_matrix(W, w), x.dtype)  # [W, w]
+    x = jnp.einsum("Oh,bhwc->bOwc", rows, x)
+    return jnp.einsum("Pw,bOwc->bOPc", cols, x)
 
 
 def max_pool(x: jnp.ndarray, window: Tuple[int, int], strides: Tuple[int, int] | None = None) -> jnp.ndarray:
