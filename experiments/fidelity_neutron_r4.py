@@ -12,8 +12,10 @@ Reference: expertsim/models/neutron/generator.py:5-49 (DCGAN+BN family);
 metric semantics expertsim/train/utils.py:117-176.
 
 Appends one JSON line per run to experiments/fidelity_r4.jsonl.
-Usage: python experiments/fidelity_neutron_r4.py [norm:seed ...]
-       (default arms: group:7 group:21 batch:7 batch:21)
+Usage: python experiments/fidelity_neutron_r4.py [norm:seed[:epochs] ...]
+       (default arms: group:7 group:21 batch:7 batch:21 at 60 epochs;
+       the proton gate criterion was calibrated at 150 epochs, so a
+       long arm is e.g. group:7:150)
 """
 
 from __future__ import annotations
@@ -45,7 +47,7 @@ def emit(rec):
     print("RESULT", json.dumps(rec), flush=True)
 
 
-def run_arm(norm: str, seed: int):
+def run_arm(norm: str, seed: int, epochs: int = 60):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -62,7 +64,10 @@ def run_arm(norm: str, seed: int):
         os.path.dirname(__file__), "..", "zdcsim", "config", "neutron.yaml"
     )
     cfg = load_config(
-        cfg_path, overrides=BASE + [f"train.seed={seed}", f"model.norm={norm}"]
+        cfg_path,
+        overrides=BASE
+        + [f"train.seed={seed}", f"model.norm={norm}",
+           f"train.epochs={epochs}"],
     )
     t0 = time.time()
     split = get_train_test_data(cfg)
@@ -99,8 +104,9 @@ def run_arm(norm: str, seed: int):
         fids[wtag] = float(np.mean(ws_half)) / floor
 
     emit({
-        "arm": f"neutron_{norm}", "seed": seed, "family": "neutron",
-        "norm": norm,
+        "arm": f"neutron_{norm}" + (f"_e{epochs}" if epochs != 60 else ""),
+        "seed": seed, "family": "neutron",
+        "norm": norm, "epochs": epochs,
         "ws_best": float(min(w for _, w in ws_series)),
         "ws_final": float(ws_series[-1][1]),
         "fidelity_x_floor_ema": round(fids["ema"], 3),
@@ -121,8 +127,10 @@ def main():
     arms = [a.split(":") for a in sys.argv[1:]] or [
         ("group", "7"), ("group", "21"), ("batch", "7"), ("batch", "21"),
     ]
-    for norm, seed in arms:
-        run_arm(norm, int(seed))
+    for arm in arms:
+        norm, seed = arm[0], int(arm[1])
+        epochs = int(arm[2]) if len(arm) > 2 else 60
+        run_arm(norm, seed, epochs)
     print("ALL DONE", flush=True)
 
 
