@@ -61,29 +61,53 @@ def main():
             steps = int(a.split("=")[1])
 
     runs = [d for d in glob.glob("experiments/fidelity_ckpt_*") if os.path.isdir(d)]
-    run_dir = max(runs, key=os.path.getmtime)
-    import re
+    artifact = None
+    if runs:
+        run_dir = max(runs, key=os.path.getmtime)
+        import re
 
-    models_dir = DIR_MODELS.format(EXPERIMENT_DIR_NAME=run_dir)
-    epoch = max(
-        int(m.group(1))
-        for p in glob.glob(os.path.join(models_dir, "state_epoch_*"))
-        if (m := re.search(r"state_epoch_(\d+)$", p))
-    )
-    print(f"teacher: {run_dir}@{epoch}", flush=True)
+        models_dir = DIR_MODELS.format(EXPERIMENT_DIR_NAME=run_dir)
+        epoch = max(
+            int(m.group(1))
+            for p in glob.glob(os.path.join(models_dir, "state_epoch_*"))
+            if (m := re.search(r"state_epoch_(\d+)$", p))
+        )
+        teacher_src = f"{run_dir}@{epoch}"
+        resume_overrides = [
+            f"train.checkpoint_experiment_dir={run_dir}",
+            f"train.epoch_to_load={epoch}",
+        ]
+    else:
+        # Round resets wipe gitignored experiments/ run dirs; fall back to
+        # the COMMITTED gate artifact — the exact weights fidelity.py gates
+        # on (split determinism vs a fresh seed-7 prep verified at artifact
+        # creation, BENCH_LOG "gate survives rounds").
+        from zdcsim.utils.artifact import load_serving_artifact
+
+        artifact = load_serving_artifact("artifacts/gate/gate_serving_weights.npz")
+        epoch = int(artifact[3].get("epoch", -1))
+        teacher_src = f"artifact (from {artifact[3].get('source', '?')})"
+        resume_overrides = []
+    print(f"teacher: {teacher_src}", flush=True)
 
     base_overrides = [
         "dataset.synthetic=true", "dataset.synthetic_n_samples=25600",
         "train.batch_size=512", "model.n_experts=3", "train.seed=7",
-        f"train.checkpoint_experiment_dir={run_dir}",
-        f"train.epoch_to_load={epoch}",
+        *resume_overrides,
     ]
     cfg = load_config(overrides=base_overrides)
     modules = build_moe(cfg)
-    template = init_state_jit(modules, cfg, jax.random.PRNGKey(0))
-    state = restore_checkpoint(models_dir, epoch, template)
-    teacher_params = state.ema_gen_params
-    router_params = state.router.params
+    if artifact is not None:
+        gp_art, gs_art, rp_art, _ = artifact
+        teacher_params = jax.tree_util.tree_map(jnp.asarray, gp_art)
+        gen_stats = jax.tree_util.tree_map(jnp.asarray, gs_art)
+        router_params = jax.tree_util.tree_map(jnp.asarray, rp_art)
+    else:
+        template = init_state_jit(modules, cfg, jax.random.PRNGKey(0))
+        state = restore_checkpoint(models_dir, epoch, template)
+        teacher_params = state.ema_gen_params
+        gen_stats = state.gen.stats
+        router_params = state.router.params
 
     split = get_train_test_data(cfg)
     _, test_loader = make_loaders(cfg, split)
@@ -114,7 +138,7 @@ def main():
         return engine.throughput_bulk(n_showers=131072)["showers_per_sec"]
 
     # Teacher reference on the production path.
-    eng_t = FastSim(modules, teacher_params, state.gen.stats, router_params,
+    eng_t = FastSim(modules, teacher_params, gen_stats, router_params,
                     batch_size=2048, precision="int8")
     fid_t = measure_fidelity(eng_t)
     print(f"teacher fidelity: {fid_t:.3f}x floor", flush=True)
@@ -176,7 +200,7 @@ def main():
             save_serving_artifact(
                 out, s_params, {}, router_params,
                 meta={"epoch": epoch, "weights": "distilled-student",
-                      "width": w, "source": f"{run_dir}@{epoch}",
+                      "width": w, "source": teacher_src,
                       "fidelity_x_floor": round(fid_s, 3),
                       "steps": steps},
             )
