@@ -184,7 +184,11 @@ def main():
         fid_s = measure_fidelity(eng_s)
         eng_s_bulk = FastSim(modules_w, s_params, {}, router_params,
                              batch_size=32768, precision="int8")
-        tps = {t: measure_throughput(eng_s_bulk, tile=t) for t in (64, 128)}
+        # Smaller convs shift the optimal dispatch tile up (w=0.5 measured
+        # T=128 > T=64; ladder in perf_student_r4.py) — probe 256 too below
+        # w=0.5 where per-tile work is 4x+ smaller.
+        tiles = (64, 128, 256) if w < 0.5 else (64, 128)
+        tps = {t: measure_throughput(eng_s_bulk, tile=t) for t in tiles}
         row = {
             "width": w, "fidelity_x_floor": round(fid_s, 3),
             "teacher_x_floor": round(fid_t, 3),
