@@ -5,6 +5,8 @@ leaves, replicated router), and a full GSPMD train step over (data x expert)
 — the same path __graft_entry__.dryrun_multichip exercises with real models.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -214,14 +216,32 @@ def test_sharded_switch_train_step_matches_dense(cpu_devices):
 
 
 @pytest.mark.slow
-def test_real_arch_multichip_dryrun(cpu_devices):
+def test_real_arch_multichip_dryrun():
     """One REAL proton-56x30 GSPMD train step + sharded-switch serve on the
     8-device virtual mesh (VERDICT r3 #5): the real conv shapes partitioned
     and executed under (data x expert) sharding at least once per round.
-    Slow-marked: minutes of XLA compile on this 1-core host."""
-    import __graft_entry__ as g
+    Slow-marked: minutes of XLA compile on this 1-core host.
 
-    g.dryrun_multichip(8, real_arch=True)
+    Runs in a SUBPROCESS: the full-size programs need a clean address
+    space — inside a long pytest process (hundreds of compiled programs
+    resident) the serve's block_until_ready aborts under host-memory
+    pressure (observed SIGABRT when run after the full suite)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8, real_arch=True)"],
+        cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0, (
+        f"real-arch dryrun failed rc={proc.returncode}\n"
+        f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
+    )
+    assert "dryrun_multichip OK" in proc.stdout
 
 
 def test_train_loop_multi_device(cpu_devices, tmp_path):
