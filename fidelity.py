@@ -10,8 +10,8 @@ numbers and no GEANT4-trained baseline is reachable in this environment, so
 the gate is FLOOR-RELATIVE: matched-sample-size 5-channel W1 of generated-vs-
 real must be within CRITERION x the real-vs-real finite-sample floor of the
 test split itself (two random halves). ``vs_baseline >= 1.0`` passes.
-Round-2 measured 1.3-1.4x on a 150-epoch checkpoint (BENCH_LOG.md); the
-criterion is 1.5x.
+Measured trajectory: 2.149x at 60 epochs, 1.389x at 150, **1.116x at the
+reference-default 250 epochs** (BENCH_LOG.md); the criterion is 1.5x.
 
 Runs the PRODUCTION serving path (bulk int8 tiled-switch — what bench.py
 times) on a trained checkpoint. Defaults to the newest on-disk gate run
@@ -39,9 +39,9 @@ CRITERION = 1.5  # pass: matched-N ws_mean <= 1.5x the real-vs-real floor
 CALIBRATION_EPOCHS = 150
 # Trained gate checkpoints live under experiments/ (gitignored — full Orbax
 # TrainStates are too large to commit). The committed artifact below is the
-# durable fallback; to regenerate a full checkpoint (~1 h for 150 epochs on
-# one v5e chip):
-#   python experiments/train_gate_ckpt_r4.py   (resume; or train_gate_ckpt_r3.py 150 from scratch)
+# durable fallback; to regenerate a full checkpoint (~67 min for 250 epochs
+# on one v5e chip):
+#   python experiments/train_gate_ckpt_r3.py 250 fidelity_ckpt_r4_250ep
 # (both train with the in-loop saver disabled — per-epoch Orbax saves cost
 # ~160 s/epoch of D2H over the axon tunnel — and write ONE final-state
 # checkpoint.)
@@ -109,8 +109,8 @@ def main() -> int:
             "metric": "fastsim_fidelity", "value": None,
             "error": "no trained gate checkpoint on disk and no committed "
                      f"artifact at {ARTIFACT_PATH} — regenerate a checkpoint "
-                     "with the train_gate_ckpt_r4.py command in this file's "
-                     "header (~1 h for 150 epochs on one v5e chip), then "
+                     "with the train_gate_ckpt_r3.py command in this file's "
+                     "header (~67 min for 250 epochs on one v5e chip), then "
                      "re-run",
         }))
         return 1
