@@ -8,12 +8,14 @@ Prints ONE JSON line:
 Baseline: BASELINE.json north star (>= 50,000 generated showers/sec/chip on
 TPU; the reference publishes no numbers of its own — BASELINE.md).
 
-Primary path: the PRODUCTION serving configuration — the width-0.5
-distilled student (fidelity-gated at the same 1.5x-floor criterion as the
-teacher: 1.432x PASS, experiments/distill_r4.jsonl; weights committed at
-STUDENT_ARTIFACT) on the bulk int8 tiled-switch path at its measured
-optimum (B=32768, tile=128 — experiments/perf_student_r4.py ladder).
-Fallbacks ladder down to the full-width teacher path, then bf16.
+Primary path: the PRODUCTION serving configuration — the fastest
+fidelity-gated distilled student (each gated at the same 1.5x-floor
+criterion as the teacher, experiments/distill_r4.jsonl: w=0.25 1.190x,
+w=0.375 1.098x, w=0.5 1.061x, all PASS vs teacher 1.116x; weights
+committed under artifacts/gate/) on the bulk int8 tiled-switch path at
+its measured optimum (B=32768; tile from the distill_r4 ladder).
+Fallbacks ladder down through wider students to the full-width teacher
+path, then bf16.
 """
 
 from __future__ import annotations
@@ -23,7 +25,14 @@ import os
 import sys
 
 BASELINE_SHOWERS_PER_SEC = 50_000.0
-STUDENT_ARTIFACT = "artifacts/gate/student_w0.5_serving_weights.npz"
+# (artifact path, dispatch tile) fastest-first; each width's tile is its
+# measured optimum from the distill_r4.jsonl ladder (T=128 for all three;
+# w=0.25 T=256 measured slower at 263k vs 277k).
+STUDENT_LADDER = (
+    ("artifacts/gate/student_w0.25_serving_weights.npz", 128),
+    ("artifacts/gate/student_w0.375_serving_weights.npz", 128),
+    ("artifacts/gate/student_w0.5_serving_weights.npz", 128),
+)
 
 
 def main() -> int:
@@ -41,20 +50,22 @@ def main() -> int:
     cfg = load_config(overrides=["model.n_experts=3"])
     modules = build_moe(cfg)
 
-    # Primary path: the fidelity-gated width-0.5 distilled student (the
+    # Primary path: the fastest fidelity-gated distilled student (the
     # committed production serving weights) on BULK tiled-switch int8 —
     # whole workload in one lax.scan program, per-chunk dispatch RTT never
-    # paid, int8 MXU convs. Measured 97.8k showers/s at B=32768 T=128
-    # (experiments/perf_student_r4.py). Students enter this ladder ONLY
-    # with a committed gate-passing artifact (distill_r4.jsonl records the
-    # gate): throughput is weight-independent, but the benched config must
-    # be a config production may actually serve.
+    # paid, int8 MXU convs. Measured 277k showers/s at w=0.25 B=32768
+    # T=128 (experiments/distill_r4.jsonl). Students enter this ladder
+    # ONLY with a committed gate-passing artifact (distill_r4.jsonl
+    # records the gate): throughput is weight-independent, but the benched
+    # config must be a config production may actually serve.
     stats = None
-    if os.path.exists(STUDENT_ARTIFACT):
+    for artifact_path, tile in STUDENT_LADDER:
+        if not os.path.exists(artifact_path):
+            continue
         try:
             from zdcsim.utils.artifact import load_serving_artifact
 
-            gp, gs, rp, meta = load_serving_artifact(STUDENT_ARTIFACT)
+            gp, gs, rp, meta = load_serving_artifact(artifact_path)
             cfg_s = load_config(overrides=[
                 "model.n_experts=3",
                 f"model.generator.width={float(meta.get('width', 0.5))}",
@@ -62,11 +73,12 @@ def main() -> int:
             engine = FastSim(
                 build_moe(cfg_s), gp, gs, rp, batch_size=32768, precision="int8"
             )
-            engine._build_switch(tile=128)
+            engine._build_switch(tile=tile)
             stats = engine.throughput_bulk(n_showers=262144)
+            break
         except Exception as e:  # noqa: BLE001 — bench must always print a number
             print(f"student bench failed ({type(e).__name__}: {e}); "
-                  "falling back to teacher", file=sys.stderr)
+                  "falling back", file=sys.stderr)
 
     # Teacher (full-width) ladder: best measured B=32768, tile=64, naive
     # int8 Conv_1 -> 41.3k showers/s (experiments/perf_naive_r3.py); then
