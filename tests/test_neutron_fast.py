@@ -111,6 +111,58 @@ def test_engine_neutron_group_norm_falls_back():
     assert out.shape == (B, 44, 44) and np.isfinite(out).all()
 
 
+def test_norm_none_student_is_prefolded_and_exact():
+    """A norm="none" width-scaled student's parameter tree IS the folded
+    serving layout: fast_neutron_apply must consume it directly and match
+    the module eval forward bit-for-bit semantics (f32)."""
+    from zdcsim.models.neutron_fast import is_prefolded
+
+    gen = GeneratorNeutron(norm="none", width=0.5)
+    key = jax.random.PRNGKey(5)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (B, 10))
+    cond = jax.random.normal(jax.random.fold_in(key, 2), (B, 9))
+    variables = gen.init({"params": jax.random.PRNGKey(11)}, noise, cond, False)
+    params = variables["params"]
+    assert set(variables) == {"params"}  # no batch_stats for norm="none"
+    assert is_prefolded(params) and not is_foldable(params)
+    # width=0.5 scales the channel dims (128->64, 256->128, 64->32)
+    assert params["Dense_1"]["kernel"].shape[-1] == 64 * 13 * 13
+    assert params["Conv_0"]["kernel"].shape[-1] == 128
+
+    ref = gen.apply(variables, noise, cond, False)
+    out = fast_neutron_apply(params, noise, cond)
+    assert out.shape == (B, 44, 44, 1)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_engine_serves_norm_none_student():
+    """FastSim must route a norm="none" neutron student through the fast
+    path (int8 enabled) with no fold step."""
+    from zdcsim.inference import FastSim
+    from zdcsim.models import build_moe
+
+    cfg = _neutron_cfg("none")
+    cfg.model.generator.width = 0.5
+    modules = build_moe(cfg)
+    z0 = jnp.zeros((2, modules.noise_dim))
+    c0 = jnp.zeros((2, modules.cond_dim))
+    gen_params = modules.generator.init(
+        {"params": jax.random.PRNGKey(13)}, z0, c0, False
+    )["params"]
+    router_params = modules.router.init({"params": jax.random.PRNGKey(14)}, c0)[
+        "params"
+    ]
+    eng = FastSim(modules, gen_params, {}, router_params,
+                  batch_size=B, precision="int8")
+    assert eng._fast_neutron and eng._int8
+    cond = np.random.default_rng(2).normal(size=(B, 9)).astype(np.float32)
+    out = np.asarray(eng.simulate(cond, jax.random.PRNGKey(3)))
+    assert out.shape == (B, 44, 44)
+    assert np.isfinite(out).all() and out.min() >= 0.0
+
+
 def test_engine_neutron_ema_int8_smoke():
     """EMA serving weights + int8 through the neutron fold: the EMA tree
     shadows the BN scale/bias params while batch_stats stay live — the

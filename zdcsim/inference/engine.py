@@ -126,22 +126,23 @@ class FastSim:
         # convs on the int8 MXU. norm="group" trees (no batch_stats) keep
         # the module forward.
         self._fast_neutron = False
-        if (
-            fast and modules.names.get("generator") == "GeneratorNeutron"
-            and "batch_stats" in gen_stats
-        ):
+        if fast and modules.names.get("generator") == "GeneratorNeutron":
             from zdcsim.models.neutron_fast import (
-                fold_neutron_params, is_foldable,
+                fold_neutron_params, is_foldable, is_prefolded,
             )
 
-            if is_foldable(gen_params):
+            if "batch_stats" in gen_stats and is_foldable(gen_params):
                 gen_params = jax.vmap(fold_neutron_params)(
                     gen_params, gen_stats["batch_stats"]
                 )
                 gen_stats = {}
                 self._fast_neutron = True
-                if precision in _int8_precisions:
-                    self._int8 = True
+            elif is_prefolded(gen_params):
+                # norm="none" distilled students: the parameter tree is
+                # already the folded serving layout.
+                self._fast_neutron = True
+            if self._fast_neutron and precision in _int8_precisions:
+                self._int8 = True
 
         gen_params = _cast_tree(gen_params, dtype)
         gen_stats = _cast_tree(gen_stats, dtype)

@@ -130,10 +130,11 @@ def build_moe(cfg) -> MoEModules:
         norm = str(cfg.model.get("norm", "batch"))
         gen_extra["norm"] = norm
         aux_extra["norm"] = norm
-    if arch == "proton":
-        width = float(cfg.model.generator.get("width", 1.0))
-        if width != 1.0:
-            gen_extra["width"] = width
+    # Width-scaled distilled serving students exist for both families
+    # (proton.Generator / GeneratorNeutron share the width convention).
+    width = float(cfg.model.generator.get("width", 1.0))
+    if width != 1.0:
+        gen_extra["width"] = width
 
     # NOTE: nn.vmap drops keyword args, so ``train`` MUST be passed
     # positionally through stacked modules; in_axes covers it with None.

@@ -38,7 +38,15 @@ class GeneratorNeutron(nn.Module):
     noise_dim: int = 10
     cond_dim: int = 9
     bn_axis_name: Optional[str] = None  # set to the mesh data axis for synced BN
-    norm: str = "batch"  # "batch" (reference parity) or "group" (see _bn)
+    norm: str = "batch"  # "batch" (reference parity), "group", or "none" (see _bn)
+    width: float = 1.0  # channel-width multiplier for distilled serving students
+
+    def _w(self, c: int) -> int:
+        # Same convention as the proton student family (proton.py): every
+        # channel count scales by ``width``, rounded down to a multiple of 32
+        # (min 32) so MXU lanes stay full. width=1 is the reference
+        # architecture bit-for-bit.
+        return max(32, int(c * self.width) // 32 * 32)
 
     def _bn(self, x, train, mask=None):
         # model.norm=group swaps BatchNorm for batch-independent GroupNorm /
@@ -48,6 +56,12 @@ class GeneratorNeutron(nn.Module):
         # dense training the expert's routing mask is threaded in so the
         # statistics come from the routed sub-batch, reproducing the
         # reference's subset-forward semantics (see MaskedBatchNorm).
+        # model.norm=none drops normalization entirely — the distilled
+        # serving-student preset: the parameter tree is then exactly the
+        # BN-folded serving layout, so zdcsim.models.neutron_fast serves it
+        # directly (distillation is plain regression and needs no norms).
+        if self.norm == "none":
+            return x
         if self.norm == "group":
             if x.ndim == 4:
                 return GroupNorm2d(x.shape[-1])(x)
@@ -70,26 +84,26 @@ class GeneratorNeutron(nn.Module):
         x = nn.Dropout(0.2, deterministic=not train)(x)
         x = leaky_relu(x)
 
-        x = nn.Dense(128 * 13 * 13)(x)
+        x = nn.Dense(self._w(128) * 13 * 13)(x)
         x = self._bn(x, train, mask)
         x = nn.Dropout(0.2, deterministic=not train)(x)
         x = leaky_relu(x)
 
-        x = x.reshape(-1, 13, 13, 128)
+        x = x.reshape(-1, 13, 13, self._w(128))
         x = upsample_nearest(x)  # 26x26
 
-        x = nn.Conv(256, (3, 3), padding="VALID")(x)  # 24x24
+        x = nn.Conv(self._w(256), (3, 3), padding="VALID")(x)  # 24x24
         x = self._bn(x, train, mask)
         x = nn.Dropout(0.2, deterministic=not train)(x)
         x = leaky_relu(x)
 
         x = upsample_nearest(x)  # 48x48
-        x = nn.Conv(128, (3, 3), padding="VALID")(x)  # 46x46
+        x = nn.Conv(self._w(128), (3, 3), padding="VALID")(x)  # 46x46
         x = self._bn(x, train, mask)
         x = nn.Dropout(0.2, deterministic=not train)(x)
         x = leaky_relu(x)
 
-        x = nn.Conv(64, (2, 2), padding="VALID")(x)  # 45x45
+        x = nn.Conv(self._w(64), (2, 2), padding="VALID")(x)  # 45x45
         x = self._bn(x, train, mask)
         x = nn.Dropout(0.2, deterministic=not train)(x)
         x = leaky_relu(x)
@@ -148,9 +162,11 @@ class AuxRegNeutron(nn.Module):
 
     output_dim: int = 2
     bn_axis_name: Optional[str] = None
-    norm: str = "batch"  # "batch" (reference parity) or "group" (see GeneratorNeutron._bn)
+    norm: str = "batch"  # "batch" / "group" / "none" (see GeneratorNeutron._bn)
 
     def _bn(self, x, train, mask=None):
+        if self.norm == "none":
+            return x
         if self.norm == "group":
             if x.ndim == 4:
                 return GroupNorm2d(x.shape[-1])(x)

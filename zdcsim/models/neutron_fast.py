@@ -62,6 +62,21 @@ def is_foldable(params) -> bool:
     return all(bn in params for _, bn in _FOLD_PAIRS)
 
 
+_FOLDED_KEYS = frozenset(
+    [layer for layer, _ in _FOLD_PAIRS] + ["Conv_3"]
+)
+
+
+def is_prefolded(params) -> bool:
+    """True when the tree is ALREADY in the folded serving layout — a
+    ``GeneratorNeutron(norm="none")`` distilled student's parameter tree
+    (Dense_0/Dense_1/Conv_0..3, kernel+bias only). Such trees feed
+    :func:`fast_neutron_apply` directly, no fold needed."""
+    return set(params) == _FOLDED_KEYS and all(
+        set(params[k]) == {"kernel", "bias"} for k in _FOLDED_KEYS
+    )
+
+
 def fold_neutron_params(params, batch_stats):
     """Fold every eval-mode BatchNorm affine into the preceding layer.
 
@@ -139,7 +154,9 @@ def fast_neutron_apply(
                + p["Dense_0"]["bias"].astype(x.dtype))
     x = _leaky(x @ p["Dense_1"]["kernel"].astype(x.dtype)
                + p["Dense_1"]["bias"].astype(x.dtype))
-    x = x.reshape(-1, 13, 13, 128)
+    # Channel count from the tree, not hardcoded: width-scaled distilled
+    # students (GeneratorNeutron(width<1)) shrink every channel dim.
+    x = x.reshape(-1, 13, 13, p["Dense_1"]["kernel"].shape[-1] // (13 * 13))
 
     c0 = p["Conv_0"]
     if int8 and INT8_CONV0:
