@@ -10,12 +10,13 @@ TPU; the reference publishes no numbers of its own — BASELINE.md).
 
 Primary path: the PRODUCTION serving configuration — the fastest
 fidelity-gated distilled student (each gated at the same 1.5x-floor
-criterion as the teacher, experiments/distill_r4.jsonl: w=0.25 1.190x,
-w=0.375 1.098x, w=0.5 1.061x, all PASS vs teacher 1.116x; weights
-committed under artifacts/gate/) on the bulk int8 tiled-switch path at
-its measured optimum (B=32768; tile from the distill_r4 ladder).
-Fallbacks ladder down through wider students to the full-width teacher
-path, then bf16.
+criterion as the teacher, experiments/distill_r4.jsonl: w=0.125 1.163x,
+w=0.1875 1.160x, w=0.25 1.190x, w=0.375 1.098x, w=0.5 1.061x, all PASS
+vs teacher 1.116-1.153x; weights committed under artifacts/gate/) on
+the bulk int8 tiled-switch path at its measured optimum (B=32768; tile
+from the distill_r4 ladder). Fallbacks ladder down through wider
+students to the full-width teacher path, then bf16. w=0.125 is the
+width floor: every conv is at the 32-channel minimum.
 """
 
 from __future__ import annotations
@@ -26,9 +27,12 @@ import sys
 
 BASELINE_SHOWERS_PER_SEC = 50_000.0
 # (artifact path, dispatch tile) fastest-first; each width's tile is its
-# measured optimum from the distill_r4.jsonl ladder (T=128 for all three;
-# w=0.25 T=256 measured slower at 263k vs 277k).
+# measured optimum from the distill_r4.jsonl ladder (w=0.125 388.8k @128,
+# w=0.1875 369.1k @256, w=0.25 277.5k @128, w=0.375 218.6k @128,
+# w=0.5 95.5k @128 showers/s).
 STUDENT_LADDER = (
+    ("artifacts/gate/student_w0.125_serving_weights.npz", 128),
+    ("artifacts/gate/student_w0.1875_serving_weights.npz", 256),
     ("artifacts/gate/student_w0.25_serving_weights.npz", 128),
     ("artifacts/gate/student_w0.375_serving_weights.npz", 128),
     ("artifacts/gate/student_w0.5_serving_weights.npz", 128),

@@ -186,8 +186,14 @@ def main():
                              batch_size=32768, precision="int8")
         # Smaller convs shift the optimal dispatch tile up (w=0.5 measured
         # T=128 > T=64; ladder in perf_student_r4.py) — probe 256 too below
-        # w=0.5 where per-tile work is 4x+ smaller.
-        tiles = (64, 128, 256) if w < 0.5 else (64, 128)
+        # w=0.5 where per-tile work is 4x+ smaller, and 512 below w=0.25
+        # where every conv has collapsed to the 32-channel floor.
+        if w < 0.25:
+            tiles = (128, 256, 512)
+        elif w < 0.5:
+            tiles = (64, 128, 256)
+        else:
+            tiles = (64, 128)
         tps = {t: measure_throughput(eng_s_bulk, tile=t) for t in tiles}
         row = {
             "width": w, "fidelity_x_floor": round(fid_s, 3),
