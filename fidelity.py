@@ -20,8 +20,12 @@ and wiped between rounds) it falls back to the COMMITTED serving-weight
 artifact (ARTIFACT_PATH — float16 EMA generator + router, written by
 ``python experiments/make_gate_artifact_r4.py <run_dir> <epoch>``), so a
 fresh clone reproduces the gate number with zero retraining. Override:
-``python fidelity.py <experiment_dir|artifact> <epoch> [raw|ema]
-[precision]``. Serving weights default to the generator EMA shadow
+``python fidelity.py <experiment_dir|artifact|path.npz> <epoch> [raw|ema]
+[precision]`` — a ``.npz`` path gates that committed serving artifact
+directly (the distilled students under ``artifacts/gate/``; width/family/
+norm come from the artifact metadata, so e.g.
+``python fidelity.py artifacts/gate/student_w0.125_serving_weights.npz``
+reproduces the production student's gate number). Serving weights default to the generator EMA shadow
 (measured better or equal to raw in 5/6 round-3 study runs,
 experiments/fidelity_r3.jsonl).
 Reference metric semantics: expertsim/train/utils.py:117-176.
@@ -102,8 +106,20 @@ def main() -> int:
     import os
 
     arg1 = sys.argv[1] if len(sys.argv) > 1 else None
-    exp_dir = None if arg1 == "artifact" else (arg1 or _resolve_default_run())
-    use_artifact = exp_dir is None and os.path.exists(ARTIFACT_PATH)
+    # "artifact" gates the committed teacher artifact; any *.npz path gates
+    # that serving artifact directly (e.g. the distilled students under
+    # artifacts/gate/ — width/family/norm come from the artifact metadata),
+    # so every committed serving config reproduces its gate number with one
+    # command on a fresh clone.
+    art_path = None
+    if arg1 == "artifact":
+        art_path = ARTIFACT_PATH
+    elif arg1 is not None and arg1.endswith(".npz"):
+        art_path = arg1
+    exp_dir = None if art_path else (arg1 or _resolve_default_run())
+    if art_path is None and exp_dir is None and os.path.exists(ARTIFACT_PATH):
+        art_path = ARTIFACT_PATH
+    use_artifact = art_path is not None
     if exp_dir is None and not use_artifact:
         print(json.dumps({
             "metric": "fastsim_fidelity", "value": None,
@@ -118,8 +134,8 @@ def main() -> int:
     if use_artifact:
         from zdcsim.utils.artifact import load_serving_artifact
 
-        gp_art, gs_art, rp_art, meta = load_serving_artifact(ARTIFACT_PATH)
-        epoch = int(meta.get("epoch", -1))
+        gp_art, gs_art, rp_art, meta = load_serving_artifact(art_path)
+        epoch = int(float(meta.get("epoch", -1)))
         use_ema = meta.get("weights", "ema") == "ema"
         precision = sys.argv[4] if len(sys.argv) > 4 else "int8"
     else:
@@ -141,7 +157,20 @@ def main() -> int:
         f"train.checkpoint_experiment_dir={exp_dir}",
         f"train.epoch_to_load={epoch}",
     ]
-    cfg = load_config(overrides=[
+    # Artifact metadata selects the model config: distilled students carry
+    # width (and norm="none" for neutron); family="neutron" swaps to the
+    # neutron dataset/model recipe (and its own real-vs-real floor below).
+    if use_artifact and "width" in meta:
+        resume_overrides.append(f"model.generator.width={float(meta['width'])}")
+    if use_artifact and "norm" in meta:
+        resume_overrides.append(f"model.norm={meta['norm']}")
+    cfg_path = None
+    if use_artifact and meta.get("family") == "neutron":
+        cfg_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "zdcsim", "config", "neutron.yaml",
+        )
+    cfg = load_config(cfg_path, overrides=[
         "dataset.synthetic=true", "dataset.synthetic_n_samples=25600",
         "train.batch_size=512", "model.n_experts=3", "train.seed=7",
         *resume_overrides,
@@ -195,14 +224,22 @@ def main() -> int:
         "ws_real_floor": round(floor, 1),
         "criterion_x_floor": CRITERION,
         "checkpoint": (
-            f"{ARTIFACT_PATH} (from {meta.get('source', '?')})"
+            f"{art_path} (from {meta.get('source', '?')})"
             if use_artifact else f"{exp_dir}@{epoch}"
         ),
         "weights": "ema" if use_ema else "raw",
         "precision": precision,
         "n_test": n,
     }
-    if 0 <= epoch + 1 < CALIBRATION_EPOCHS:
+    if use_artifact and "family" in meta:
+        result["family"] = meta["family"]
+    if meta.get("weights") == "distilled-student":
+        result["width"] = float(meta.get("width", 1.0))
+        if "teacher_x_floor" in meta:
+            result["teacher_x_floor"] = float(meta["teacher_x_floor"])
+    if 0 <= epoch + 1 < CALIBRATION_EPOCHS and (
+        meta.get("weights") != "distilled-student"
+    ):
         result["warning"] = (
             f"weights trained {epoch + 1} epochs; the {CRITERION}x criterion "
             f"was calibrated at {CALIBRATION_EPOCHS} — a FAIL here may be a "
