@@ -86,13 +86,17 @@ def main():
     widths = [float(a) for a in sys.argv[1:] if not a.startswith("--")] or [
         0.5, 0.25,
     ]
-    steps, epochs = 5000, 150
+    steps, epochs, lr, seed = 5000, 150, 2e-3, 21
     retrain = "--retrain" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--steps"):
             steps = int(a.split("=")[1])
         if a.startswith("--epochs"):
             epochs = int(a.split("=")[1])
+        if a.startswith("--lr"):
+            lr = float(a.split("=")[1])
+        if a.startswith("--seed"):
+            seed = int(a.split("=")[1])
 
     cfg_path = os.path.join(
         os.path.dirname(__file__), "..", "zdcsim", "config", "neutron.yaml"
@@ -195,8 +199,8 @@ def main():
         t0 = time.time()
         s_params, metrics = distill_generator(
             modules_w.generator, s_params, teacher_apply, router_apply,
-            cond_pool, jax.random.PRNGKey(21), modules.noise_dim,
-            steps=steps, batch_size=512, lr=2e-3, inner_steps=25,
+            cond_pool, jax.random.PRNGKey(seed), modules.noise_dim,
+            steps=steps, batch_size=512, lr=lr, inner_steps=25,
             logger=lambda m: print(m, flush=True),
         )
         print(f"width={w}: distilled {steps} steps in {time.time()-t0:.0f}s "
@@ -223,6 +227,7 @@ def main():
             "rel_criterion": REL_CRITERION, "pass": ok,
             "throughput": {str(t): round(v) for t, v in tps.items()},
             "distill_metrics": metrics, "steps": steps,
+            "lr": lr, "seed": seed,
         }
         print(json.dumps(row), flush=True)
         results.append(row)

@@ -55,6 +55,52 @@ DEFAULT_RUN_GLOBS = (
 )
 ARTIFACT_PATH = "artifacts/gate/gate_serving_weights.npz"
 N_DRAWS = 3
+# Neutron-family students gate relative to their teacher's x-floor (the
+# family saturates ~5x floor at synthetic scale — BENCH_LOG "neutron
+# 150-epoch arm"); must match experiments/distill_neutron_r4.py.
+NEUTRON_REL_CRITERION = 1.10
+
+
+def _resolve_target(arg1: str | None) -> tuple[str | None, str | None]:
+    """Map the first CLI arg to ``(artifact_path, experiment_dir)``.
+
+    ``"artifact"`` gates the committed teacher artifact; any ``*.npz`` path
+    gates that serving artifact directly (e.g. the distilled students under
+    ``artifacts/gate/``); anything else is an experiment run dir. With no
+    arg, the newest on-disk gate run wins, else the committed artifact.
+    Exactly one of the two returns non-None (both None = nothing to gate).
+    """
+    import os
+
+    if arg1 == "artifact":
+        return ARTIFACT_PATH, None
+    if arg1 is not None and arg1.endswith(".npz"):
+        return arg1, None
+    exp_dir = arg1 or _resolve_default_run()
+    if exp_dir is None and os.path.exists(ARTIFACT_PATH):
+        return ARTIFACT_PATH, None
+    return None, exp_dir
+
+
+def _artifact_model_config(meta: dict) -> tuple[list[str], str | None]:
+    """Config selection from artifact metadata: distilled students carry
+    ``width`` (and ``norm="none"`` for neutron); ``family="neutron"`` swaps
+    to the neutron dataset/model recipe (and its own real-vs-real floor).
+    Returns ``(extra_overrides, cfg_path)``."""
+    import os
+
+    overrides = []
+    if "width" in meta:
+        overrides.append(f"model.generator.width={float(meta['width'])}")
+    if "norm" in meta:
+        overrides.append(f"model.norm={meta['norm']}")
+    cfg_path = None
+    if meta.get("family") == "neutron":
+        cfg_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "zdcsim", "config", "neutron.yaml",
+        )
+    return overrides, cfg_path
 
 
 def _resolve_default_run() -> str | None:
@@ -106,19 +152,7 @@ def main() -> int:
     import os
 
     arg1 = sys.argv[1] if len(sys.argv) > 1 else None
-    # "artifact" gates the committed teacher artifact; any *.npz path gates
-    # that serving artifact directly (e.g. the distilled students under
-    # artifacts/gate/ — width/family/norm come from the artifact metadata),
-    # so every committed serving config reproduces its gate number with one
-    # command on a fresh clone.
-    art_path = None
-    if arg1 == "artifact":
-        art_path = ARTIFACT_PATH
-    elif arg1 is not None and arg1.endswith(".npz"):
-        art_path = arg1
-    exp_dir = None if art_path else (arg1 or _resolve_default_run())
-    if art_path is None and exp_dir is None and os.path.exists(ARTIFACT_PATH):
-        art_path = ARTIFACT_PATH
+    art_path, exp_dir = _resolve_target(arg1)
     use_artifact = art_path is not None
     if exp_dir is None and not use_artifact:
         print(json.dumps({
@@ -157,19 +191,10 @@ def main() -> int:
         f"train.checkpoint_experiment_dir={exp_dir}",
         f"train.epoch_to_load={epoch}",
     ]
-    # Artifact metadata selects the model config: distilled students carry
-    # width (and norm="none" for neutron); family="neutron" swaps to the
-    # neutron dataset/model recipe (and its own real-vs-real floor below).
-    if use_artifact and "width" in meta:
-        resume_overrides.append(f"model.generator.width={float(meta['width'])}")
-    if use_artifact and "norm" in meta:
-        resume_overrides.append(f"model.norm={meta['norm']}")
     cfg_path = None
-    if use_artifact and meta.get("family") == "neutron":
-        cfg_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "zdcsim", "config", "neutron.yaml",
-        )
+    if use_artifact:
+        extra, cfg_path = _artifact_model_config(meta)
+        resume_overrides.extend(extra)
     cfg = load_config(cfg_path, overrides=[
         "dataset.synthetic=true", "dataset.synthetic_n_samples=25600",
         "train.batch_size=512", "model.n_experts=3", "train.seed=7",
@@ -237,6 +262,26 @@ def main() -> int:
         result["width"] = float(meta.get("width", 1.0))
         if "teacher_x_floor" in meta:
             result["teacher_x_floor"] = float(meta["teacher_x_floor"])
+    # The neutron DCGAN family saturates ~5x floor at synthetic-data scale
+    # (BENCH_LOG "neutron 150-epoch arm" — a model-family ceiling, not a
+    # training-length artifact), so the absolute proton criterion does not
+    # apply: neutron students gate TEACHER-RELATIVE (must hold the teacher's
+    # fidelity within NEUTRON_REL_CRITERION), the teacher itself is
+    # informational.
+    if meta.get("family") == "neutron":
+        if "teacher_x_floor" in meta:
+            rel_bar = NEUTRON_REL_CRITERION * float(meta["teacher_x_floor"])
+            result["criterion"] = (
+                f"teacher-relative: <= {NEUTRON_REL_CRITERION}x teacher "
+                f"({rel_bar:.3f}x floor)"
+            )
+            result["vs_baseline"] = round(rel_bar / max(ratio, 1e-9), 3)
+        else:
+            result["vs_baseline"] = None
+            result["criterion"] = (
+                "informational (neutron family saturates ~5x floor at "
+                "synthetic scale; students gate teacher-relative)"
+            )
     if 0 <= epoch + 1 < CALIBRATION_EPOCHS and (
         meta.get("weights") != "distilled-student"
     ):
