@@ -82,3 +82,33 @@ def test_switch_decode_under_jit():
         np.asarray(run(idx, cond, noise)),
         _reference(idx, cond, noise, E, OUT), rtol=1e-5, atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("seed,tile", [(0, 4), (5, 8)])
+def test_switch_decode_in_scan_scatter_bit_matches(seed, tile):
+    """in_scan_scatter=True (carry-buffer scatter, no stacked [K,T,*out]
+    intermediate) must reproduce the stacked path bit-for-bit."""
+    key = jax.random.PRNGKey(seed)
+    B, E, OUT = 32, 3, (4, 3)
+    idx = jax.random.randint(key, (B,), 0, E)
+    cond = jax.random.normal(jax.random.fold_in(key, 1), (B, 9))
+    noise = jax.random.normal(jax.random.fold_in(key, 2), (B, 10))
+    fns = _decoders(E, OUT)
+    stacked = tiled_switch_decode(fns, idx, cond, noise, OUT, tile=tile)
+    in_scan = tiled_switch_decode(
+        fns, idx, cond, noise, OUT, tile=tile, in_scan_scatter=True
+    )
+    np.testing.assert_array_equal(np.asarray(stacked), np.asarray(in_scan))
+
+
+def test_switch_decode_in_scan_scatter_empty_experts():
+    B, E, OUT = 16, 5, (2, 2)
+    idx = jnp.asarray([0, 4] * 8)  # experts 1..3 empty
+    cond = jax.random.normal(jax.random.PRNGKey(3), (B, 9))
+    noise = jax.random.normal(jax.random.PRNGKey(4), (B, 10))
+    got = tiled_switch_decode(
+        _decoders(E, OUT), idx, cond, noise, OUT, tile=4, in_scan_scatter=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), _reference(idx, cond, noise, E, OUT), rtol=1e-5, atol=1e-5
+    )

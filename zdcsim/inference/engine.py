@@ -214,7 +214,7 @@ class FastSim:
         else:
             self._sim = jax.jit(sim)
 
-    def _build_switch(self, tile: int = 128):
+    def _build_switch(self, tile: int = 128, in_scan_scatter: bool = True):
         """One-program grouped dispatch (zdcsim.inference.switch_dispatch):
         routed decoding at single-expert FLOPs with zero host round trips.
 
@@ -272,7 +272,10 @@ class FastSim:
                 # the tile must divide the (static) batch; fall back to the
                 # largest common divisor for odd batch sizes
                 eff_tile = math.gcd(cond.shape[0], tile)
-                imgs = tiled_switch_decode(fns, idx, cond, noise, (h, w), tile=eff_tile)
+                imgs = tiled_switch_decode(
+                    fns, idx, cond, noise, (h, w), tile=eff_tile,
+                    in_scan_scatter=in_scan_scatter,
+                )
                 return imgs, idx
 
             from jax import shard_map
@@ -293,7 +296,8 @@ class FastSim:
             def local_decode(gp_l, gs_l, idx_l, cond_l, noise_l):
                 fns = [make_decoder(gp_l, gs_l, e) for e in range(e_count)]
                 return tiled_switch_decode(
-                    fns, idx_l, cond_l, noise_l, (h, w), tile=eff_tile
+                    fns, idx_l, cond_l, noise_l, (h, w), tile=eff_tile,
+                    in_scan_scatter=in_scan_scatter,
                 )
 
             decode = shard_map(

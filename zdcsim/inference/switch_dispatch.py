@@ -39,6 +39,7 @@ def tiled_switch_decode(
     noise: jnp.ndarray,
     out_shape: Tuple[int, ...],
     tile: int = 128,
+    in_scan_scatter: bool = False,
 ) -> jnp.ndarray:
     """Decode each sample with its routed expert, one XLA program.
 
@@ -48,6 +49,13 @@ def tiled_switch_decode(
         cond: ``[B, C]`` conditioning; noise: ``[B, Z]``.
         out_shape: per-sample output shape (e.g. ``(H, W)``).
         tile: chunk size ``T`` (must divide B).
+        in_scan_scatter: scatter each tile's output into the result buffer
+            INSIDE the scan (buffer as carry, in-place per XLA loop aliasing)
+            instead of stacking ``[K, T, *out]`` and scattering afterwards.
+            Skips materializing + re-reading the stacked intermediate (the
+            w=0.125 leaf-op budget shows the stack write as 11% and the
+            post-scan unpermute as ~13% of bulk runtime — BENCH_LOG
+            "round-4 student budget").
     Returns:
         ``[B, *out_shape]`` routed outputs.
     """
@@ -79,6 +87,25 @@ def tiled_switch_decode(
         rows = perm[src]
         used = (pos < total_aligned) & (counts[e_k] > 0)
         return jnp.where(used, rows, b), e_k
+
+    if in_scan_scatter:
+        def body_scatter(out, k):
+            rows, e_k = chunk_rows(k)
+            c = cond[jnp.minimum(rows, b - 1)]
+            z = noise[jnp.minimum(rows, b - 1)]
+            img = jax.lax.switch(e_k, list(decode_fns), z, c)
+            # dummy row b absorbs unused lanes; duplicates rewrite the same
+            # value (replicated pad samples are bit-identical).
+            return out.at[rows].set(img, mode="drop"), None
+
+        img_dtype = jax.eval_shape(
+            decode_fns[0],
+            jax.ShapeDtypeStruct((tile, noise.shape[1]), noise.dtype),
+            jax.ShapeDtypeStruct((tile, cond.shape[1]), cond.dtype),
+        ).dtype
+        out0 = jnp.zeros((b + 1, *out_shape), img_dtype)
+        out, _ = jax.lax.scan(body_scatter, out0, jnp.arange(k_chunks))
+        return out[:b]
 
     def body(carry, k):
         rows, e_k = chunk_rows(k)
