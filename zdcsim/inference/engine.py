@@ -66,9 +66,23 @@ class FastSim:
             "int8_fused_front" select Pallas decode kernels (proton only).
         scaler_cond: optional StandardScaler to standardize raw kinematics.
         mesh: optional jax Mesh — batch shards over its 'data' axis.
+        static_act_quant: int8 paths use STATIC calibrated per-tensor
+            activation scales instead of per-call dynamic max-reduces — the
+            quantize becomes pure elementwise and fuses into the preceding
+            norm epilogue. Calibrated once at build time per expert on a
+            standard-normal batch (conds are scaler-standardized, so N(0,1)
+            is representative) with a safety margin
+            (``ACT_SCALE_MARGIN``); out-of-range activations clip at +-127.
+            Fidelity-gate any static configuration before serving claims.
     """
 
     DENSE_SAFE_BATCH = 2048
+    # Static-quant calibration: max-abs over CAL_BATCH standard-normal
+    # samples, inflated by ACT_SCALE_MARGIN to cover serving-batch tails
+    # (serving batches are ~30x larger than the calibration batch; the
+    # following GroupNorm renormalizes what clipping distorts).
+    CAL_BATCH = 1024
+    ACT_SCALE_MARGIN = 1.25
 
     def __init__(
         self,
@@ -81,6 +95,7 @@ class FastSim:
         scaler_cond=None,
         mesh=None,
         fast: bool = True,
+        static_act_quant: bool = False,
     ):
         self.modules = modules
         self.batch_size = int(batch_size) if batch_size is not None else 8192
@@ -171,6 +186,13 @@ class FastSim:
         use_fast = fast and modules.names.get("generator") == "Generator"
         self.uses_fast_path = use_fast
 
+        # Static int8 activation scales (see the class docstring): calibrate
+        # once per expert at build time; the switch/bulk decoders then run
+        # reduce-free elementwise quantizes.
+        self._act_scales = None
+        if static_act_quant and self._int8 and (use_fast or self._fast_neutron):
+            self._act_scales = self._calibrate_act_scales(gen_params)
+
         def sim(weights, cond, key):
             gp, gs, rp = weights
             _, logits = router_mod.apply({"params": rp}, cond)
@@ -214,6 +236,40 @@ class FastSim:
         else:
             self._sim = jax.jit(sim)
 
+    def _calibrate_act_scales(self, gen_params):
+        """Per-expert static int8 activation scales.
+
+        Runs the production serving forward once per expert (vmapped) on a
+        standard-normal calibration batch and captures each quant site's
+        input max-abs via ``amax_out``; returns a dict of ``[E]`` f32 scale
+        arrays (``amax * ACT_SCALE_MARGIN / 127``). Conds enter the engine
+        scaler-standardized, so N(0,1) is the representative calibration
+        distribution."""
+        dtype = self._dtype
+        if self._fast_neutron:
+            from zdcsim.models.neutron_fast import fast_neutron_apply as apply_fn
+
+            in_dim = gen_params["Dense_0"]["kernel"].shape[-2]
+        else:
+            from zdcsim.models.proton_fast import fast_generator_apply as apply_fn
+
+            in_dim = gen_params["MLPBlock_0"]["Dense_0"]["kernel"].shape[-2]
+        cond_dim = in_dim - self.noise_dim
+        kz, kc = jax.random.split(jax.random.PRNGKey(0))
+        z = jax.random.normal(kz, (self.CAL_BATCH, self.noise_dim), dtype)
+        c = jax.random.normal(kc, (self.CAL_BATCH, cond_dim), dtype)
+
+        def amax_one(gp_e):
+            d = {}
+            apply_fn(gp_e, z, c, int8=True, amax_out=d)
+            return d
+
+        amax = jax.jit(jax.vmap(amax_one))(gen_params)  # dict of [E] f32
+        m = float(self.ACT_SCALE_MARGIN)
+        return jax.tree_util.tree_map(
+            lambda a: jnp.maximum(a * m, 1e-12) / 127.0, amax
+        )
+
     def _build_switch(self, tile: int = 128, in_scan_scatter: bool = True):
         """One-program grouped dispatch (zdcsim.inference.switch_dispatch):
         routed decoding at single-expert FLOPs with zero host round trips.
@@ -242,17 +298,27 @@ class FastSim:
         int8 = self._int8
         int8_backend = self._int8_backend
 
+        act_scales = self._act_scales
+
         def make_decoder(gp, gs, e):
             def decode(z, c):
                 gp_e = jax.tree_util.tree_map(lambda p: p[e], gp)
+                # static per-expert quant scales close over as constants
+                sc_e = (
+                    jax.tree_util.tree_map(lambda s: s[e], act_scales)
+                    if act_scales is not None else None
+                )
                 if use_fast:
                     img = fast_generator_apply(
-                        gp_e, z, c.astype(dtype), int8=int8, int8_backend=int8_backend
+                        gp_e, z, c.astype(dtype), int8=int8,
+                        int8_backend=int8_backend, act_scales=sc_e,
                     )
                 elif fast_neutron:
                     from zdcsim.models.neutron_fast import fast_neutron_apply
 
-                    img = fast_neutron_apply(gp_e, z, c.astype(dtype), int8=int8)
+                    img = fast_neutron_apply(
+                        gp_e, z, c.astype(dtype), int8=int8, act_scales=sc_e
+                    )
                 else:
                     gs_e = jax.tree_util.tree_map(lambda p: p[e], gs)
                     img = gen_single.apply({"params": gp_e, **gs_e}, z, c.astype(dtype), False)

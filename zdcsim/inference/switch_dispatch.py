@@ -104,6 +104,13 @@ def tiled_switch_decode(
             jax.ShapeDtypeStruct((tile, cond.shape[1]), cond.dtype),
         ).dtype
         out0 = jnp.zeros((b + 1, *out_shape), img_dtype)
+        # Under shard_map the inputs carry varying-manual-axes (vma) type
+        # annotations; the scan carry must match the body output's vma or
+        # tracing fails. Mark the fresh buffer varying over the same axes
+        # as the routed indices.
+        vma = tuple(getattr(jax.typeof(idx), "vma", ()) or ())
+        if vma:
+            out0 = jax.lax.pcast(out0, vma, to="varying")
         out, _ = jax.lax.scan(body_scatter, out0, jnp.arange(k_chunks))
         return out[:b]
 

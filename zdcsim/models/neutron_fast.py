@@ -111,11 +111,12 @@ def _conv_valid(x, k, b):
     return y + b.astype(x.dtype)
 
 
-def _conv_valid_int8(x, k, b):
+def _conv_valid_int8(x, k, b, act_scale=None):
     """Plain VALID conv on the int8 MXU: per-tensor dynamic activation
     scale, per-cout weight scales, f32 dequant (the proton-measured
-    default — bf16 dequant lost 11% in bulk)."""
-    xq, sx = _quant_act(x)
+    default — bf16 dequant lost 11% in bulk). ``act_scale`` switches to a
+    static calibrated scale (see proton_fast._quant_act)."""
+    xq, sx = _quant_act(x, act_scale)
     kq, sk = _quant_per_cout(k)
     y = _conv_i8(xq, kq, ((0, 0), (0, 0)))
     return (
@@ -124,11 +125,11 @@ def _conv_valid_int8(x, k, b):
     ).astype(x.dtype)
 
 
-def _up2_conv_valid_int8(x, k, b):
+def _up2_conv_valid_int8(x, k, b, act_scale=None):
     """2x nearest upsample + VALID conv, upsample materialized on the
     QUANTIZED activations (int8 repeat; the per-tensor max is unchanged
     by duplication, so the scale is identical to quantizing first)."""
-    xq, sx = _quant_act(x)
+    xq, sx = _quant_act(x, act_scale)
     xu = jnp.repeat(jnp.repeat(xq, 2, axis=1), 2, axis=2)
     kq, sk = _quant_per_cout(k)
     y = _conv_i8(xu, kq, ((0, 0), (0, 0)))
@@ -143,12 +144,23 @@ def _up2(x):
 
 
 def fast_neutron_apply(
-    folded, noise: jnp.ndarray, cond: jnp.ndarray, int8: bool = False
+    folded, noise: jnp.ndarray, cond: jnp.ndarray, int8: bool = False,
+    act_scales=None, amax_out=None,
 ) -> jnp.ndarray:
     """Eval forward of GeneratorNeutron from a :func:`fold_neutron_params`
     tree. Returns [B, 44, 44, 1] in the input dtype (log-space pixels,
-    like the module forward — the engine applies expm1)."""
+    like the module forward — the engine applies expm1).
+
+    ``act_scales``/``amax_out``: static calibrated activation scales for the
+    int8 quant sites / calibration max-abs capture — same contract as
+    ``proton_fast.fast_generator_apply``."""
     p = folded
+    scales = act_scales or {}
+
+    def _site(t, name):
+        if amax_out is not None:
+            amax_out[name] = jnp.max(jnp.abs(t.astype(jnp.float32)))
+        return t
     x = jnp.concatenate([noise, cond], axis=1)
     x = _leaky(x @ p["Dense_0"]["kernel"].astype(x.dtype)
                + p["Dense_0"]["bias"].astype(x.dtype))
@@ -159,22 +171,31 @@ def fast_neutron_apply(
     x = x.reshape(-1, 13, 13, p["Dense_1"]["kernel"].shape[-1] // (13 * 13))
 
     c0 = p["Conv_0"]
+    x = _site(x, "conv0")
     if int8 and INT8_CONV0:
-        x = _up2_conv_valid_int8(x, c0["kernel"], c0["bias"])  # 24x24x256
+        x = _up2_conv_valid_int8(
+            x, c0["kernel"], c0["bias"], act_scale=scales.get("conv0")
+        )  # 24x24x256
     else:
         x = _conv_valid(_up2(x), c0["kernel"], c0["bias"])
     x = _leaky(x)
 
     c1 = p["Conv_1"]
+    x = _site(x, "conv1")
     if int8 and INT8_CONV1:
-        x = _up2_conv_valid_int8(x, c1["kernel"], c1["bias"])  # 46x46x128
+        x = _up2_conv_valid_int8(
+            x, c1["kernel"], c1["bias"], act_scale=scales.get("conv1")
+        )  # 46x46x128
     else:
         x = _conv_valid(_up2(x), c1["kernel"], c1["bias"])
     x = _leaky(x)
 
     c2 = p["Conv_2"]
+    x = _site(x, "conv2")
     if int8 and INT8_CONV2:
-        x = _conv_valid_int8(x, c2["kernel"], c2["bias"])  # 45x45x64
+        x = _conv_valid_int8(
+            x, c2["kernel"], c2["bias"], act_scale=scales.get("conv2")
+        )  # 45x45x64
     else:
         x = _conv_valid(x, c2["kernel"], c2["bias"])
     x = _leaky(x)

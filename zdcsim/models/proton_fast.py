@@ -233,10 +233,23 @@ def _quant_per_cout(k: jnp.ndarray):
     return q, s
 
 
-def _quant_act(x: jnp.ndarray):
-    """Dynamic per-tensor symmetric int8 quantization of activations."""
-    s = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
-    s = jnp.maximum(s, 1e-12)
+def _quant_act(x: jnp.ndarray, scale=None):
+    """Per-tensor symmetric int8 quantization of activations.
+
+    ``scale=None``: dynamic — one max-reduce over the tensor per call, which
+    forces XLA to materialize the activation, reduce it, then re-read it for
+    the rescale (three HBM passes). ``scale=<scalar>``: static calibrated
+    scale — the quantize is pure elementwise and fuses into the producer's
+    epilogue (GN/LN + leaky), no reduce round-trip. Calibration captures the
+    dynamic maxima via ``fast_generator_apply(amax_out=...)``; values beyond
+    the calibrated range clip at +-127 (the following GroupNorm renormalizes
+    the surviving error — fidelity is gated in fidelity.py before any static
+    configuration is served)."""
+    if scale is None:
+        s = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
+        s = jnp.maximum(s, 1e-12)
+    else:
+        s = jnp.asarray(scale, jnp.float32)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
     return q, s
 
@@ -280,12 +293,14 @@ def _dq_dtype(x):
     return jnp.float32
 
 
-def conv3x3_int8(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+def conv3x3_int8(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, act_scale=None
+) -> jnp.ndarray:
     """Plain pad-1 conv on the int8 MXU (per-cout weight scales, dynamic
     per-tensor activation scale) — used for Conv_2 in the int8 serving
     decode; a GroupNorm follows, so quantization error is renormalized
     exactly like Conv_0/Conv_1's."""
-    xq, sx = _quant_act(x)
+    xq, sx = _quant_act(x, act_scale)
     kq, sk = _quant_per_cout(kernel)
     dq = _dq_dtype(x)
     y = _conv_i8(xq, kq, ((1, 1), (1, 1)))
@@ -293,7 +308,7 @@ def conv3x3_int8(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.
 
 
 def fused_upsample2_conv4_int8(
-    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, act_scale=None
 ) -> jnp.ndarray:
     """int8 MXU variant of :func:`fused_upsample2_conv4`.
 
@@ -315,7 +330,7 @@ def fused_upsample2_conv4_int8(
     k_ee, k_eo = split_cols(k_er)
     k_oe, k_oo = split_cols(k_or)
 
-    xq, sx = _quant_act(x)
+    xq, sx = _quant_act(x, act_scale)
     # f32 dequant/interleave: bf16 here measured -11% bulk throughput
     # (see DEQUANT_DTYPE note above) — the tile-resident decode is not
     # bandwidth-bound, so the narrower dtype only costs converts.
@@ -338,7 +353,8 @@ def fused_upsample2_conv4_int8(
 
 
 def fused_row_resize_conv4_int8(
-    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, n_resized_rows: int, n_cols: int
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, n_resized_rows: int,
+    n_cols: int, act_scale=None,
 ) -> jnp.ndarray:
     """int8 MXU variant of :func:`fused_row_resize_conv4` (same phase plan,
     quantized per-phase kernels, one dynamic activation scale)."""
@@ -347,7 +363,7 @@ def fused_row_resize_conv4_int8(
     b, h_in, w_in, cin = x.shape
     col_map = np.floor((np.arange(n_cols) + 0.5) * w_in / n_cols).astype(int)
     xc = x[:, :, col_map, :]
-    xq, sx = _quant_act(xc)
+    xq, sx = _quant_act(xc, act_scale)
     # f32 dequant/stack (see fused_upsample2_conv4_int8's DEQUANT note).
     dq = _dq_dtype(x)
 
@@ -384,14 +400,14 @@ def fused_row_resize_conv4_int8(
 
 
 def upsample2_conv4_int8_naive(
-    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, act_scale=None
 ) -> jnp.ndarray:
     """Naive int8 counterpart of :func:`fused_upsample2_conv4_int8`:
     materialize the nearest-2x upsample on the QUANTIZED activations (int8
     repeat — cheap) and run one plain 4x4 conv on the int8 MXU. 2.52x the
     phase form's MACs but a single regular conv XLA tiles well; kept for
     in-bulk A/B (experiments/perf_naive_r3.py)."""
-    xq, sx = _quant_act(x)
+    xq, sx = _quant_act(x, act_scale)
     b, h, w, c = xq.shape
     xu = jnp.repeat(jnp.repeat(xq, 2, axis=1), 2, axis=2)  # [B,2H,2W,C]
     kq, sk = _quant_per_cout(kernel)
@@ -401,7 +417,8 @@ def upsample2_conv4_int8_naive(
 
 
 def resize_conv4_int8_naive(
-    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, n_resized_rows: int, n_cols: int
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray, n_resized_rows: int,
+    n_cols: int, act_scale=None,
 ) -> jnp.ndarray:
     """Naive int8 counterpart of :func:`fused_row_resize_conv4_int8`:
     materialize the nearest resize as an int8 row/col gather and run ONE
@@ -418,7 +435,7 @@ def resize_conv4_int8_naive(
     import numpy as np
 
     b, h_in, w_in, cin = x.shape
-    xq, sx = _quant_act(x)
+    xq, sx = _quant_act(x, act_scale)
     row_map = np.floor((np.arange(n_resized_rows) + 0.5) * h_in / n_resized_rows).astype(int)
     col_map = np.floor((np.arange(n_cols) + 0.5) * w_in / n_cols).astype(int)
     xr = xq[:, row_map][:, :, col_map]  # int8 nearest resize
@@ -450,7 +467,7 @@ def _group_norm(x, p, channels):
 
 def fast_generator_apply(
     params: Any, noise: jnp.ndarray, cond: jnp.ndarray, int8: bool = False,
-    int8_backend: str = "xla",
+    int8_backend: str = "xla", act_scales=None, amax_out=None,
 ) -> jnp.ndarray:
     """Inference forward of ``zdcsim.models.proton.Generator`` with the fused
     upsample+conv rewrite, from the unmodified parameter tree.
@@ -461,6 +478,13 @@ def fast_generator_apply(
     following GroupNorms renormalize scale, so the quantization error that
     survives is shape noise only — fidelity impact is measured in
     BENCH_LOG.md before this is used for any physics claim.
+
+    ``act_scales``: optional dict ``{"conv0","conv1","conv2"} -> f32 scalar``
+    of STATIC calibrated activation scales for the XLA int8 path — each
+    quantize becomes pure elementwise (no per-call max-reduce; see
+    ``_quant_act``). ``amax_out``: pass a dict to additionally record the
+    max-abs of each quant-site input under the same keys (the calibration
+    capture — works in any precision mode).
 
     ``int8_backend="pallas"`` swaps the MLP LayerNorm epilogue and Conv_0
     for the fused Pallas kernels (zdcsim/ops/pallas_decode.py): LN + leaky +
@@ -479,6 +503,13 @@ def fast_generator_apply(
     use_pallas_cd = int8 and int8_backend == "pallas"
     use_fused = int8 and int8_backend == "fused"
     use_fused_front = int8 and int8_backend == "fused_front"
+    scales = act_scales or {}
+
+    def _site(t, name):
+        # calibration capture: record this quant site's input max-abs
+        if amax_out is not None:
+            amax_out[name] = jnp.max(jnp.abs(t.astype(jnp.float32)))
+        return t
     x = jnp.concatenate([noise, cond], axis=1)
     # MLP stays bf16: its cost is the 92160-wide LayerNorm traffic, not the
     # matmul — int8-ing it measured neutral-to-negative (BENCH_LOG round 2).
@@ -536,10 +567,17 @@ def fast_generator_apply(
         x = x.reshape(-1, 18, 10, bp1["Dense_0"]["kernel"].shape[1] // (18 * 10))
 
         # upsample x2 + Conv_0 4x4 pad1 -> fused parity convs (35x19x256)
+        x = _site(x, "conv0")
         if int8 and INT8_CONV0_IMPL == "naive":
-            x = upsample2_conv4_int8_naive(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
+            x = upsample2_conv4_int8_naive(
+                x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"],
+                act_scale=scales.get("conv0"),
+            )
         elif int8:
-            x = fused_upsample2_conv4_int8(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
+            x = fused_upsample2_conv4_int8(
+                x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"],
+                act_scale=scales.get("conv0"),
+            )
         else:
             x = fused_upsample2_conv4(x, p["Conv_0"]["kernel"], p["Conv_0"]["bias"])
     if use_fused_front:
@@ -566,17 +604,28 @@ def fast_generator_apply(
         # resize to 56x30 + Conv_1 4x4 pad1 (55x29x128): int8 default is the
         # naive conv on the materialized int8 resize (2.3x the folded
         # row-phase form on chip — see resize_conv4_int8_naive docstring)
+        x = _site(x, "conv1")
         if int8 and INT8_CONV1_IMPL == "naive":
-            x = resize_conv4_int8_naive(x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30)
+            x = resize_conv4_int8_naive(
+                x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30,
+                act_scale=scales.get("conv1"),
+            )
         elif int8:
-            x = fused_row_resize_conv4_int8(x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30)
+            x = fused_row_resize_conv4_int8(
+                x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30,
+                act_scale=scales.get("conv1"),
+            )
         else:
             x = fused_row_resize_conv4(x, p["Conv_1"]["kernel"], p["Conv_1"]["bias"], 56, 30)
     x = _group_norm(x, p["GroupNorm2d_1"]["GroupNorm_0"], x.shape[-1])
     x = _leaky(x)
 
+    x = _site(x, "conv2")
     if int8 and INT8_CONV2:
-        x = conv3x3_int8(x, p["Conv_2"]["kernel"], p["Conv_2"]["bias"])
+        x = conv3x3_int8(
+            x, p["Conv_2"]["kernel"], p["Conv_2"]["bias"],
+            act_scale=scales.get("conv2"),
+        )
     else:
         x = _conv(x, p["Conv_2"]["kernel"], ((1, 1), (1, 1)))
         x = x + p["Conv_2"]["bias"]
