@@ -40,6 +40,7 @@ def tiled_switch_decode(
     out_shape: Tuple[int, ...],
     tile: int = 128,
     in_scan_scatter: bool = False,
+    decode_dyn: Callable | None = None,
 ) -> jnp.ndarray:
     """Decode each sample with its routed expert, one XLA program.
 
@@ -56,6 +57,15 @@ def tiled_switch_decode(
             w=0.125 leaf-op budget shows the stack write as 11% and the
             post-scan unpermute as ~13% of bulk runtime — BENCH_LOG
             "round-4 student budget").
+        decode_dyn: optional BRANCHLESS decoder ``(e_k, noise, cond) ->
+            [T, *out]`` taking the tile's expert index as a traced scalar
+            (typically gathering that expert's weights by dynamic index).
+            Replaces the per-tile ``lax.switch`` — the scan body becomes
+            uniform (no conditional machinery; the w=0.125 leaf-op budget
+            shows the conditional wrapper at ~23% of branch time). Cost:
+            one weight-tree gather per tile instead of a picked branch.
+            ``decode_fns`` still provides the expert count and output
+            dtype and must decode identically.
     Returns:
         ``[B, *out_shape]`` routed outputs.
     """
@@ -87,6 +97,11 @@ def tiled_switch_decode(
         rows = perm[src]
         used = (pos < total_aligned) & (counts[e_k] > 0)
         return jnp.where(used, rows, b), e_k
+
+    def run_tile(e_k, z, c):
+        if decode_dyn is not None:
+            return decode_dyn(e_k, z, c)
+        return jax.lax.switch(e_k, list(decode_fns), z, c)
 
     if in_scan_scatter:
         def body_scatter(out, k):
