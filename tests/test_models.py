@@ -15,6 +15,7 @@ from zdcsim.models import (
     DiscriminatorNeutron,
     Generator,
     GeneratorNeutron,
+    GeneratorNeutronV2,
     RouterNetwork,
     build_model,
     build_moe,
@@ -47,6 +48,50 @@ def test_neutron_generator_shape():
     cond = jnp.zeros((B, C))
     out, _ = _init_apply(GeneratorNeutron(noise_dim=Z, cond_dim=C), noise, cond)
     assert out.shape == (B, 44, 44, 1)
+
+
+def test_neutron_generator_v2_shape():
+    noise = jnp.zeros((B, Z))
+    cond = jnp.zeros((B, C))
+    out, _ = _init_apply(GeneratorNeutronV2(noise_dim=Z, cond_dim=C), noise, cond)
+    assert out.shape == (B, 44, 44, 1)
+    assert float(out.min()) >= 0.0  # final ReLU
+
+
+def test_neutron_generator_v2_rejects_batch_norm():
+    with pytest.raises(ValueError, match="norm"):
+        _init_apply(
+            GeneratorNeutronV2(noise_dim=Z, cond_dim=C, norm="batch"),
+            jnp.zeros((B, Z)), jnp.zeros((B, C)),
+        )
+
+
+def test_build_moe_neutron_v2_config():
+    """model.generator.version=v2 under the neutron preset builds the
+    proton-recipe 44x44 generator family end to end (stacked + single)."""
+    cfg = load_config(overrides=[
+        "model.architecture=neutron",
+        "model.norm=group",
+        "model.generator.version=v2",
+        "dataset.zdc_type=neutron",
+        "dataset.input_image_shape=[44,44]",
+    ])
+    moe = build_moe(cfg)
+    assert moe.names["generator"] == "GeneratorNeutronV2"
+    assert moe.generator_masked is None  # batch-independent norms
+    noise = jnp.zeros((2, Z))
+    cond = jnp.zeros((2, C))
+    variables = moe.generator.init(KEYS, noise, cond, True)
+    out = moe.generator.apply(
+        variables, noise, cond, True, rngs={"dropout": KEYS["dropout"]}
+    )
+    assert out.shape == (3, 2, 44, 44, 1)
+
+
+def test_build_moe_rejects_unknown_generator_version():
+    cfg = load_config(overrides=["model.generator.version=v9"])
+    with pytest.raises(ValueError, match="v9"):
+        build_moe(cfg)
 
 
 @pytest.mark.parametrize(

@@ -148,15 +148,21 @@ def test_sharded_switch_serving_matches_single_device(cpu_devices):
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_l), rtol=1e-5, atol=1e-6)
 
 
-def test_sharded_switch_train_step_matches_dense(cpu_devices):
+@pytest.mark.parametrize("expert_parallel", [1, 2])
+def test_sharded_switch_train_step_matches_dense(cpu_devices, expert_parallel):
     """train.dispatch=switch under the mesh (VERDICT r3 #4): the tiled-switch
-    train dispatch runs per-device inside shard_map over the data axis and
-    must reproduce the dense SHARDED step's losses and parameter updates.
-    Constant router GAN term on both sides (the one documented semantic
-    difference between dense and switch); tiny models are dropout/stats-free,
-    so results differ only by fp reduction order."""
+    train dispatch runs per-device inside shard_map — batch sharded over the
+    data axis, and over the expert axis too when expert_parallel>1 (extra
+    data parallelism for the dispatch; expert-sharded params all-gather at
+    the boundary — VERDICT r4 #5) — and must reproduce the dense SHARDED
+    step's losses and parameter updates. Constant router GAN term on both
+    sides (the one documented semantic difference between dense and switch);
+    tiny models are dropout/stats-free, so results differ only by fp
+    reduction order."""
+    # E must divide over the expert axis when expert_parallel=2
+    n_experts = 3 if expert_parallel == 1 else 4
     ov = dict(**{
-        "model.n_experts": 3, "train.batch_size": 16,
+        "model.n_experts": n_experts, "train.batch_size": 16,
         "dataset.input_image_shape": f"[{SHAPE[0]}, {SHAPE[1]}]",
         "model.router.differentiable_gan_term": "false",
     })
@@ -167,7 +173,7 @@ def test_sharded_switch_train_step_matches_dense(cpu_devices):
     ])
     modules = build_tiny_moe(cfg_d, SHAPE)
     state = init_state(modules, cfg_d, jax.random.PRNGKey(0))
-    mesh = make_mesh(n_devices=8, expert_parallel=1)
+    mesh = make_mesh(n_devices=8, expert_parallel=expert_parallel)
     bsh = batch_sharding(mesh)
     B = 16
     key = jax.random.PRNGKey(1)
@@ -184,8 +190,8 @@ def test_sharded_switch_train_step_matches_dense(cpu_devices):
     # deep-copy per arm: both steps donate their input state, and device_put
     # reuses buffers, so sharding the same host state twice would alias
     fresh = lambda s: jax.tree_util.tree_map(jnp.copy, s)
-    sd_state = shard_state(mesh, fresh(state), 3)
-    ss_state = shard_state(mesh, fresh(state), 3)
+    sd_state = shard_state(mesh, fresh(state), n_experts)
+    ss_state = shard_state(mesh, fresh(state), n_experts)
     step_d = build_train_step(modules, cfg_d, mesh=mesh, example_state=sd_state)
     step_s = build_train_step(modules, cfg_s, mesh=mesh, example_state=ss_state)
     k = jax.random.PRNGKey(2)

@@ -191,6 +191,15 @@ class FastSim:
         # reduce-free elementwise quantizes.
         self._act_scales = None
         if static_act_quant and self._int8 and (use_fast or self._fast_neutron):
+            if self._int8_backend != "xla":
+                # The Pallas backends quantize inside their kernels and
+                # ignore act_scales at the covered sites — a static
+                # calibration would silently apply to only part of the
+                # program. Static quant is an XLA-backend lever.
+                raise ValueError(
+                    "static_act_quant requires the XLA int8 backend "
+                    f"(precision='int8'), got backend {self._int8_backend!r}"
+                )
             self._act_scales = self._calibrate_act_scales(gen_params)
 
         def sim(weights, cond, key):
@@ -265,12 +274,40 @@ class FastSim:
             return d
 
         amax = jax.jit(jax.vmap(amax_one))(gen_params)  # dict of [E] f32
+        # Clip-rate diagnostic (ADVICE r4): re-measure amax on a 4x larger
+        # independent batch; site/expert maxima exceeding the margined
+        # calibration amax would clip at serve time. Exposed as
+        # ``self.act_scale_headroom`` = min over sites/experts of
+        # (margined cal amax) / (validation amax) — >1.0 means no observed
+        # clipping at 4x the calibration sample size.
+        kz2, kc2 = jax.random.split(jax.random.PRNGKey(1))
+        z2 = jax.random.normal(kz2, (4 * self.CAL_BATCH, self.noise_dim), dtype)
+        c2 = jax.random.normal(kc2, (4 * self.CAL_BATCH, cond_dim), dtype)
+
+        def amax_val(gp_e):
+            d = {}
+            apply_fn(gp_e, z2, c2, int8=True, amax_out=d)
+            return d
+
+        amax_v = jax.jit(jax.vmap(amax_val))(gen_params)
         m = float(self.ACT_SCALE_MARGIN)
+        ratios = jax.tree_util.tree_map(
+            lambda a, v: (a * m) / jnp.maximum(v, 1e-12), amax, amax_v
+        )
+        self.act_scale_headroom = float(
+            jnp.min(jnp.stack([jnp.min(r) for r in
+                               jax.tree_util.tree_leaves(ratios)]))
+        )
         return jax.tree_util.tree_map(
             lambda a: jnp.maximum(a * m, 1e-12) / 127.0, amax
         )
 
-    def _build_switch(self, tile: int = 128, in_scan_scatter: bool = True):
+    def _build_switch(
+        self,
+        tile: int = 128,
+        in_scan_scatter: bool = True,
+        dyn_dispatch: bool = False,
+    ):
         """One-program grouped dispatch (zdcsim.inference.switch_dispatch):
         routed decoding at single-expert FLOPs with zero host round trips.
 
@@ -281,6 +318,14 @@ class FastSim:
         in the hot loop. Per-sample outputs are identical to the single-device
         path (same key -> same global noise; dispatch grouping is
         sample-independent).
+
+        ``dyn_dispatch=True`` decodes each tile BRANCHLESSLY: the tile's
+        expert weights are gathered from the stacked tree by the traced
+        expert index (``lax.dynamic_index_in_dim``) and fed through ONE
+        uniform decode body, instead of ``lax.switch`` over per-expert
+        closures — trades the conditional wrapper (~23% of a w=0.125 tile
+        branch, round-4 student budget) for one weight-tree gather per tile.
+        Value-identical to the switch path (tests/test_switch_dispatch.py).
         """
         from zdcsim.inference.switch_dispatch import tiled_switch_decode
         from zdcsim.models.proton_fast import fast_generator_apply
@@ -326,6 +371,38 @@ class FastSim:
 
             return decode
 
+        def make_dyn_decoder(gp, gs):
+            """Branchless tile decoder: gather the expert's weight slice by
+            the TRACED tile index, one uniform decode body (no lax.switch)."""
+            def decode_dyn(e_k, z, c):
+                take = lambda t: jax.tree_util.tree_map(
+                    lambda p: jax.lax.dynamic_index_in_dim(
+                        p, e_k, axis=0, keepdims=False
+                    ),
+                    t,
+                )
+                gp_e = take(gp)
+                sc_e = take(act_scales) if act_scales is not None else None
+                if use_fast:
+                    img = fast_generator_apply(
+                        gp_e, z, c.astype(dtype), int8=int8,
+                        int8_backend=int8_backend, act_scales=sc_e,
+                    )
+                elif fast_neutron:
+                    from zdcsim.models.neutron_fast import fast_neutron_apply
+
+                    img = fast_neutron_apply(
+                        gp_e, z, c.astype(dtype), int8=int8, act_scales=sc_e
+                    )
+                else:
+                    gs_e = take(gs)
+                    img = gen_single.apply(
+                        {"params": gp_e, **gs_e}, z, c.astype(dtype), False
+                    )
+                return jnp.expm1(img[..., 0].astype(jnp.float32))
+
+            return decode_dyn
+
         def sim_switch(weights, cond, key):
             import math
 
@@ -341,6 +418,7 @@ class FastSim:
                 imgs = tiled_switch_decode(
                     fns, idx, cond, noise, (h, w), tile=eff_tile,
                     in_scan_scatter=in_scan_scatter,
+                    decode_dyn=make_dyn_decoder(gp, gs) if dyn_dispatch else None,
                 )
                 return imgs, idx
 
@@ -364,6 +442,9 @@ class FastSim:
                 return tiled_switch_decode(
                     fns, idx_l, cond_l, noise_l, (h, w), tile=eff_tile,
                     in_scan_scatter=in_scan_scatter,
+                    decode_dyn=(
+                        make_dyn_decoder(gp_l, gs_l) if dyn_dispatch else None
+                    ),
                 )
 
             decode = shard_map(

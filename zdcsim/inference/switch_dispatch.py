@@ -108,7 +108,7 @@ def tiled_switch_decode(
             rows, e_k = chunk_rows(k)
             c = cond[jnp.minimum(rows, b - 1)]
             z = noise[jnp.minimum(rows, b - 1)]
-            img = jax.lax.switch(e_k, list(decode_fns), z, c)
+            img = run_tile(e_k, z, c)
             # dummy row b absorbs unused lanes; duplicates rewrite the same
             # value (replicated pad samples are bit-identical).
             return out.at[rows].set(img, mode="drop"), None
@@ -133,7 +133,7 @@ def tiled_switch_decode(
         rows, e_k = chunk_rows(k)
         c = cond[jnp.minimum(rows, b - 1)]
         z = noise[jnp.minimum(rows, b - 1)]
-        img = jax.lax.switch(e_k, list(decode_fns), z, c)
+        img = run_tile(e_k, z, c)
         return carry, (rows, img)
 
     _, (rows_all, imgs_all) = jax.lax.scan(body, None, jnp.arange(k_chunks))

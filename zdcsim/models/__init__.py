@@ -25,6 +25,7 @@ from zdcsim.models.neutron import (  # noqa: F401
     AuxRegNeutron,
     DiscriminatorNeutron,
     GeneratorNeutron,
+    GeneratorNeutronV2,
 )
 from zdcsim.models.proton import PROTON_SHAPE, AuxReg, Discriminator, Generator  # noqa: F401
 from zdcsim.models.router import AttentionRouterNetwork, RouterNetwork  # noqa: F401
@@ -34,6 +35,7 @@ MODEL_REGISTRY: Dict[str, Type[nn.Module]] = {
     "proton.discriminator": Discriminator,
     "proton.aux_reg": AuxReg,
     "neutron.generator": GeneratorNeutron,
+    "neutron.generator_v2": GeneratorNeutronV2,
     "neutron.discriminator": DiscriminatorNeutron,
     "neutron.aux_reg": AuxRegNeutron,
     "router_v1": RouterNetwork,
@@ -117,7 +119,17 @@ def build_moe(cfg) -> MoEModules:
     noise_dim = int(cfg.model.noise_dim)
     cond_dim = int(cfg.model.cond_dim)
 
-    gen_cls = MODEL_REGISTRY[f"{arch}.generator"]
+    # model.generator.version: "v1" = reference-parity architecture; the
+    # neutron family additionally registers "v2" (proton-recipe GN/LN
+    # generator at 44x44 — the round-5 alternative-architecture arm).
+    gen_version = str(cfg.model.generator.get("version", "v1"))
+    gen_key = f"{arch}.generator" + ("" if gen_version == "v1" else f"_{gen_version}")
+    if gen_key not in MODEL_REGISTRY:
+        raise ValueError(
+            f"no generator version {gen_version!r} for architecture "
+            f"{arch!r}. Available: {sorted(MODEL_REGISTRY)}"
+        )
+    gen_cls = MODEL_REGISTRY[gen_key]
     disc_cls = MODEL_REGISTRY[f"{arch}.discriminator"]
     aux_cls = MODEL_REGISTRY[f"{arch}.aux_reg"]
     router_cls = MODEL_REGISTRY[cfg.model.router.version]

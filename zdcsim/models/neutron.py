@@ -14,11 +14,13 @@ import jax.numpy as jnp
 
 from zdcsim.models.layers import (
     GroupNorm2d,
+    MLPBlock,
     MaskedBatchNorm,
     SNConv,
     SNDense,
     leaky_relu,
     max_pool,
+    resize_nearest,
     upsample_nearest,
 )
 
@@ -109,6 +111,73 @@ class GeneratorNeutron(nn.Module):
         x = leaky_relu(x)
 
         x = nn.Conv(1, (2, 2), padding="VALID")(x)  # 44x44
+        return nn.relu(x)
+
+
+class GeneratorNeutronV2(nn.Module):
+    """Proton-recipe conditional generator re-dimensioned for 44x44 showers.
+
+    NOT a reference architecture: the reference's neutron generator is the
+    DCGAN+BN family (expertsim/models/neutron/generator.py:5-49 —
+    ``GeneratorNeutron`` here). This variant transplants the proton
+    generator's LayerNorm-MLP + GroupNorm-conv recipe
+    ("Generator-v5-bigkernel", expertsim/models/proton/generator.py:5-53 /
+    zdcsim.models.proton.Generator) onto the neutron geometry, as the
+    alternative-architecture arm of the neutron fidelity study (round-5):
+    concat(noise, cond) -> FC256(LN) -> FC 512*12*12(LN) -> reshape
+    12x12x512 -> up x2 -> Conv4x4 256 (GN) 23x23 -> resize to 44x44 ->
+    Conv4x4 128 (GN) 43x43 -> Conv3x3 64 (GN) 43x43 -> Conv2x2 1 (pad 1)
+    -> ReLU => 44x44 log-space.
+
+    Select with ``model.generator.version=v2`` under
+    ``model.architecture=neutron``. Normalization is batch-independent
+    (GroupNorm/LayerNorm — ``norm`` accepts "group" or "none" for
+    distilled students; the BatchNorm mode is the v1 module's domain).
+    """
+
+    noise_dim: int = 10
+    cond_dim: int = 9
+    norm: str = "group"
+    width: float = 1.0
+
+    @nn.compact
+    def __call__(
+        self,
+        noise: jnp.ndarray,
+        cond: jnp.ndarray,
+        train: bool = True,
+        mask: Optional[jnp.ndarray] = None,  # unused: batch-independent norms
+    ) -> jnp.ndarray:
+        if self.norm not in ("group", "none"):
+            raise ValueError(
+                "GeneratorNeutronV2 supports norm='group'|'none' "
+                f"(got {self.norm!r}); norm='batch' is GeneratorNeutron"
+            )
+        w = lambda c: max(32, int(c * self.width) // 32 * 32)
+        gn = (
+            (lambda x: GroupNorm2d(x.shape[-1])(x))
+            if self.norm == "group" else (lambda x: x)
+        )
+        x = jnp.concatenate([noise, cond], axis=1)
+        x = MLPBlock(256)(x)
+        x = MLPBlock(w(512) * 12 * 12)(x)
+        x = x.reshape(-1, 12, 12, w(512))
+
+        x = upsample_nearest(x)  # 24x24
+        x = nn.Conv(w(256), (4, 4), padding=((1, 1), (1, 1)))(x)  # 23x23
+        x = gn(x)
+        x = leaky_relu(x)
+
+        x = resize_nearest(x, NEUTRON_SHAPE)
+        x = nn.Conv(w(128), (4, 4), padding=((1, 1), (1, 1)))(x)  # 43x43
+        x = gn(x)
+        x = leaky_relu(x)
+
+        x = nn.Conv(w(64), (3, 3), padding=((1, 1), (1, 1)))(x)  # 43x43
+        x = gn(x)
+        x = leaky_relu(x)
+
+        x = nn.Conv(1, (2, 2), padding=((1, 1), (1, 1)))(x)  # 44x44
         return nn.relu(x)
 
 

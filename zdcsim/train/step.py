@@ -464,17 +464,21 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
         shard_map boundary).
 
         Single device: plain :func:`tiled_switch_apply`. Under a mesh the
-        dispatch runs PER-DEVICE inside ``shard_map`` over the data axis —
-        each device sorts/tiles only its own batch shard, weights
-        replicated; the same structure as sharded switch serving
-        (engine.py sim_switch). shard_map's transpose psums the cotangent
-        of the replicated ``cap`` over the data axis, which is exactly the
-        data-parallel gradient reduction. With
-        ``parallel.expert_parallel>1`` the expert-sharded params are
-        all-gathered at the boundary (``lax.switch`` needs every expert on
-        every device) and the dispatch compute replicates along the expert
-        axis — switch dispatch is a data-parallel construct; use
-        ``expert_parallel=1`` with it for efficiency.
+        dispatch runs PER-DEVICE inside ``shard_map`` with the batch sharded
+        over the WHOLE device grid — the data axis and, when
+        ``parallel.expert_parallel>1``, the expert axis too: switch dispatch
+        is a data-parallel construct, so the expert axis contributes extra
+        data parallelism here instead of replicating compute (each device
+        sorts/tiles its own smaller batch sub-shard). The expert-sharded
+        params in ``cap`` are all-gathered once at the boundary
+        (``lax.switch`` needs every expert on every device; these
+        generators are KBs-MBs, negligible next to one chunk's decode) —
+        the same structure as sharded switch serving (engine.py
+        sim_switch). shard_map's transpose psums the cotangent of the
+        replicated ``cap`` over both axes, which is exactly the
+        all-device gradient reduction; equality with the dense sharded
+        step at expert_parallel=2 is tested on the virtual 8-device mesh
+        (tests/test_parallel.py).
         """
         from zdcsim.inference.switch_dispatch import tiled_switch_apply
 
@@ -487,7 +491,12 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        from zdcsim.parallel.mesh import DATA_AXIS
+        from zdcsim.parallel.mesh import DATA_AXIS, EXPERT_AXIS
+
+        batch_axes = (
+            (DATA_AXIS, EXPERT_AXIS)
+            if mesh.shape.get(EXPERT_AXIS, 1) > 1 else (DATA_AXIS,)
+        )
 
         def local(cap_l, idx_l, inputs_l):
             lb = int(idx_l.shape[0])
@@ -498,8 +507,8 @@ def build_train_step(modules: MoEModules, cfg, mesh=None, example_state=None):
 
         return shard_map(
             local, mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-            out_specs=P(DATA_AXIS),
+            in_specs=(P(), P(batch_axes), P(batch_axes)),
+            out_specs=P(batch_axes),
         )(cap, idx_, inputs)
 
     def train_step_switch(state, batch, key, epoch):
