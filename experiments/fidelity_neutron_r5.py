@@ -100,7 +100,25 @@ def run_arm(norm: str, seed: int, epochs: int = 250, version: str = "v1"):
             ))))
         fids[wtag] = float(np.mean(ws_half)) / floor
 
+    # Persist the serving weights (fp16 EMA + raw generator + router): a
+    # passing arm must be committable as a gate artifact, and a better
+    # teacher is re-distillable — the round-4 harness dropped its states.
+    art = os.path.join(
+        os.path.dirname(__file__),
+        f"neutron_{norm}_{version}_s{seed}_e{epochs}_serving.npz",
+    )
+    from zdcsim.utils.artifact import save_serving_artifact
+
+    save_serving_artifact(
+        art, state.ema_gen_params, state.gen.stats, state.router.params,
+        meta={"family": "neutron", "norm": norm, "weights": "ema",
+              "epoch": epochs - 1, "generator_version": version,
+              "source": f"fidelity_neutron_r5 {norm}:{seed}:{epochs}:{version}",
+              "fidelity_x_floor": round(fids["ema"], 3)},
+    )
+
     emit({
+        "artifact": art,
         "arm": f"neutron_{norm}_{version}_e{epochs}",
         "seed": seed, "family": "neutron",
         "norm": norm, "epochs": epochs, "version": version,

@@ -94,6 +94,10 @@ def _artifact_model_config(meta: dict) -> tuple[list[str], str | None]:
         overrides.append(f"model.generator.width={float(meta['width'])}")
     if "norm" in meta:
         overrides.append(f"model.norm={meta['norm']}")
+    if "generator_version" in meta:
+        overrides.append(
+            f"model.generator.version={meta['generator_version']}"
+        )
     cfg_path = None
     if meta.get("family") == "neutron":
         cfg_path = os.path.join(
